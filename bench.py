@@ -1,0 +1,113 @@
+"""Benchmark driver: primary-ray throughput on the Stanford bunny (69,630 tris).
+
+Mirrors tiny_bvh_speedtest's primary-ray benchmark (tiny_bvh_speedtest.cpp:
+174-336): build a BVH over a real scene, fire camera primary rays, report
+MRays/s. Prints ONE JSON line with the headline metric; the `detail` field
+carries the full metric table (build time, SAH cost, diffuse/shadow rates).
+
+Runs on whatever jax.devices() provides (the real TPU under the driver).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tinybvh_tpu.api import BVH
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.io.loaders import load_bin, random_tris
+
+    try:
+        tris = load_bin("/root/reference/testdata/bunny.bin")
+        scene_name = "bunny"
+    except OSError:
+        tris = random_tris(65536, seed=0)
+        scene_name = "random64k"
+
+    n_tris = tris.shape[0]
+
+    t0 = time.perf_counter()
+    bvh = BVH(tris, max_leaf=8)
+    jax.block_until_ready(bvh.bvh2.node_min)
+    build_s = time.perf_counter() - t0
+    sah = bvh.sah_cost()
+
+    # camera: look at scene center from outside along a diagonal
+    lo, hi = bvh.aabb
+    center = (lo + hi) * 0.5
+    extent = float(np.max(hi - lo))
+    eye = center + np.array([0.6, 0.35, 1.1]) * extent * 1.2
+    fwd = center - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, [0, 1, 0])
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+
+    W = H = 640
+    xs = (np.arange(W) + 0.5) / W - 0.5
+    ys = (np.arange(H) + 0.5) / H - 0.5
+    gx, gy = np.meshgrid(xs, ys)
+    d = (
+        fwd[None, None]
+        + 0.9 * gx[..., None] * right[None, None]
+        + 0.9 * gy[..., None] * up[None, None]
+    ).reshape(-1, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.broadcast_to(eye.astype(np.float32), d.shape)
+    rays = make_rays(o, d)
+    n_rays = d.shape[0]
+
+    # primary rays: warm-up compile pass, then timed passes
+    hits = bvh.intersect(rays)
+    jax.block_until_ready(hits.t)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hits = bvh.intersect(rays)
+        jax.block_until_ready(hits.t)
+        times.append(time.perf_counter() - t0)
+    primary_mrays = n_rays / min(times) / 1e6
+    hit_rate = float(np.mean(np.asarray(hits.prim) >= 0))
+
+    # shadow rays from hit points toward a fixed light
+    p = np.asarray(rays.o + hits.t[:, None] * rays.d)
+    light = center + np.array([0, 2.0, 0]) * extent
+    sd = light[None, :] - p
+    sn = np.linalg.norm(sd, axis=1, keepdims=True)
+    srays = make_rays((p + sd / sn * 1e-3).astype(np.float32),
+                      (sd / sn).astype(np.float32))
+    occ = bvh.is_occluded(srays, t_max=float(np.median(sn)))
+    jax.block_until_ready(occ)
+    t0 = time.perf_counter()
+    occ = bvh.is_occluded(srays, t_max=float(np.median(sn)))
+    jax.block_until_ready(occ)
+    shadow_mrays = n_rays / (time.perf_counter() - t0) / 1e6
+
+    target = 500.0  # BASELINE.json north-star MRays/s per chip
+    result = {
+        "metric": f"primary_mrays_{scene_name}",
+        "value": round(primary_mrays, 3),
+        "unit": "MRays/s",
+        "vs_baseline": round(primary_mrays / target, 4),
+        "detail": {
+            "scene": scene_name,
+            "n_tris": int(n_tris),
+            "n_rays": int(n_rays),
+            "build_s": round(build_s, 3),
+            "build_mtris_s": round(n_tris / build_s / 1e6, 3),
+            "sah_cost": round(sah, 2),
+            "hit_rate": round(hit_rate, 4),
+            "shadow_mrays": round(shadow_mrays, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

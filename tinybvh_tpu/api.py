@@ -1,0 +1,132 @@
+"""High-level user API: BVH and TLAS objects.
+
+The convenience layer a tinybvh user would reach for: `BVH(tris).intersect(
+rays)` mirrors `bvh.Build(...); bvh.Intersect(ray)` (tiny_bvh.h:884-960),
+but over ray *batches*. The underlying data is always the functional SoA
+pytree (layouts.bvh2.BVH2 etc.) — this class just owns it plus the packed
+triangle array and cached plans.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from tinybvh_tpu.builders.binned import build_binned
+from tinybvh_tpu.builders.refit import refit as _refit, refit_plan
+from tinybvh_tpu.core.rays import Rays, make_rays
+from tinybvh_tpu.core.vecmath import BVH_FAR
+from tinybvh_tpu.layouts import bvh2 as _bvh2
+from tinybvh_tpu.traverse.stack import (
+    intersect_bvh2,
+    is_occluded_bvh2,
+    pack_tris,
+)
+
+
+class BVH:
+    """A built BVH over a triangle soup.
+
+    tris: (N, 3, 3) float32 vertices (equivalent of the reference's
+    `bvhvec4` soup with 3 vertices per triangle, tiny_bvh.h:2124).
+    """
+
+    def __init__(self, tris, builder: str = "sah", max_leaf: int | None = 8,
+                 bins: int = 8):
+        tris = jnp.asarray(tris, jnp.float32)
+        if tris.ndim == 2:  # (3N, 3/4) vertex soup → (N, 3, 3)
+            if tris.shape[0] % 3 or tris.shape[1] not in (3, 4):
+                raise ValueError(
+                    f"vertex soup must be (3N, 3|4), got {tris.shape}"
+                )
+            tris = tris[:, :3].reshape(-1, 3, 3)
+        if tris.ndim != 3 or tris.shape[1:] != (3, 3) or tris.shape[0] == 0:
+            raise ValueError(
+                f"triangles must be (N, 3, 3) with N >= 1, got {tris.shape}"
+            )
+        self.tris = tris
+        if builder == "sah":
+            self.bvh2 = build_binned(tris, bins=bins, max_leaf=max_leaf)
+        elif builder == "median":
+            self.bvh2 = build_binned(tris, strategy="median")
+        elif builder == "lbvh":
+            from tinybvh_tpu.builders.lbvh import build_lbvh
+
+            self.bvh2 = build_lbvh(tris)
+        else:
+            raise ValueError(f"unknown builder {builder!r}")
+        self.leaf_max = int(np.asarray(self.bvh2.count).max())
+        self.packed_tris = pack_tris(self.bvh2, tris)
+        self._refit_plan = None
+
+    # -- queries ----------------------------------------------------------
+    def intersect(self, rays: Rays, t_max=BVH_FAR):
+        return intersect_bvh2(
+            self.bvh2, self.packed_tris, rays, t_max, leaf_max=self.leaf_max
+        )
+
+    def is_occluded(self, rays: Rays, t_max):
+        return is_occluded_bvh2(
+            self.bvh2, self.packed_tris, rays, t_max, leaf_max=self.leaf_max
+        )
+
+    def intersect_one(self, origin, direction, t_max=BVH_FAR):
+        """Single-ray convenience (the reference's scalar Intersect)."""
+        rays = make_rays(jnp.asarray(origin)[None], jnp.asarray(direction)[None])
+        h = self.intersect(rays, t_max)
+        return {k: np.asarray(getattr(h, k))[0] for k in ("t", "u", "v", "prim")}
+
+    # -- maintenance ------------------------------------------------------
+    def refit(self, new_tris=None):
+        """Update AABBs after vertex deformation (topology unchanged)."""
+        if new_tris is not None:
+            self.tris = jnp.asarray(new_tris, jnp.float32)
+            self.packed_tris = pack_tris(self.bvh2, self.tris)
+        if self._refit_plan is None:
+            self._refit_plan = refit_plan(self.bvh2)
+        self.bvh2 = _refit(
+            self.bvh2, self.packed_tris, self._refit_plan,
+            leaf_max=max(self.leaf_max, 1),
+        )
+        return self
+
+    # -- metrics ----------------------------------------------------------
+    def sah_cost(self) -> float:
+        return float(_bvh2.sah_cost(self.bvh2))
+
+    def node_count(self) -> int:
+        return int(_bvh2.node_counts(self.bvh2)[0])
+
+    def validate(self):
+        return _bvh2.validate_host(self.bvh2, self.tris)
+
+    @property
+    def aabb(self):
+        return (
+            np.asarray(self.bvh2.node_min[0]),
+            np.asarray(self.bvh2.node_max[0]),
+        )
+
+
+class TLAS:
+    """Top-level structure over instanced BLASes — see tlas/instance.py.
+
+    Mirrors BVH::Build(BLASInstance*, …) + IntersectTLAS
+    (tiny_bvh.h:2221-2259, 3306-3380).
+    """
+
+    def __init__(self, blases, transforms, masks=None):
+        from tinybvh_tpu.tlas.instance import build_tlas
+
+        self._impl = build_tlas(blases, transforms, masks)
+        self.blases = blases
+
+    def intersect(self, rays: Rays, t_max=BVH_FAR):
+        from tinybvh_tpu.tlas.instance import intersect_tlas
+
+        return intersect_tlas(self._impl, self.blases, rays, t_max)
+
+    def is_occluded(self, rays: Rays, t_max):
+        from tinybvh_tpu.tlas.instance import is_occluded_tlas
+
+        return is_occluded_tlas(self._impl, self.blases, rays, t_max)
