@@ -31,8 +31,8 @@ class BVH:
     `bvhvec4` soup with 3 vertices per triangle, tiny_bvh.h:2124).
     """
 
-    def __init__(self, tris, builder: str = "sah", max_leaf: int | None = 8,
-                 bins: int = 8):
+    def __init__(self, tris, builder: str = "sah", max_leaf: int | None = 4,
+                 bins: int = 8, layout: str = "bvh8"):
         tris = jnp.asarray(tris, jnp.float32)
         if tris.ndim == 2:  # (3N, 3/4) vertex soup → (N, 3, 3)
             if tris.shape[0] % 3 or tris.shape[1] not in (3, 4):
@@ -58,14 +58,28 @@ class BVH:
         self.leaf_max = int(np.asarray(self.bvh2.count).max())
         self.packed_tris = pack_tris(self.bvh2, tris)
         self._refit_plan = None
+        self.layout = layout
+        self.bvh8 = None
+        if layout == "bvh8" and self.leaf_max <= 4:
+            from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+
+            self.bvh8 = collapse_bvh2(self.bvh2, tris)
 
     # -- queries ----------------------------------------------------------
     def intersect(self, rays: Rays, t_max=BVH_FAR):
+        if self.bvh8 is not None:
+            from tinybvh_tpu.traverse.wide import intersect_bvh8
+
+            return intersect_bvh8(self.bvh8, rays, t_max)
         return intersect_bvh2(
             self.bvh2, self.packed_tris, rays, t_max, leaf_max=self.leaf_max
         )
 
     def is_occluded(self, rays: Rays, t_max):
+        if self.bvh8 is not None:
+            from tinybvh_tpu.traverse.wide import is_occluded_bvh8
+
+            return is_occluded_bvh8(self.bvh8, rays, t_max)
         return is_occluded_bvh2(
             self.bvh2, self.packed_tris, rays, t_max, leaf_max=self.leaf_max
         )
@@ -88,6 +102,10 @@ class BVH:
             self.bvh2, self.packed_tris, self._refit_plan,
             leaf_max=max(self.leaf_max, 1),
         )
+        if self.bvh8 is not None:
+            from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+
+            self.bvh8 = collapse_bvh2(self.bvh2, self.tris)
         return self
 
     # -- metrics ----------------------------------------------------------
@@ -113,20 +131,37 @@ class TLAS:
 
     Mirrors BVH::Build(BLASInstance*, …) + IntersectTLAS
     (tiny_bvh.h:2221-2259, 3306-3380).
+
+    blases: list of api.BVH (or raw layouts.mbvh.BVH8); transforms: either
+    (I, 4, 4) matrices (all instances use blases[0]) or a list of
+    (blas_index, matrix) pairs.
     """
 
     def __init__(self, blases, transforms, masks=None):
+        from tinybvh_tpu.layouts.mbvh import BVH8
         from tinybvh_tpu.tlas.instance import build_tlas
 
-        self._impl = build_tlas(blases, transforms, masks)
+        raw = []
+        for b in blases:
+            if isinstance(b, BVH):
+                if b.bvh8 is None:
+                    raise ValueError(
+                        "TLAS BLASes need the bvh8 layout (max_leaf <= 4)"
+                    )
+                raw.append(b.bvh8)
+            elif isinstance(b, BVH8):
+                raw.append(b)
+            else:
+                raise TypeError(f"not a BLAS: {type(b)}")
+        self._impl = build_tlas(raw, transforms, masks)
         self.blases = blases
 
     def intersect(self, rays: Rays, t_max=BVH_FAR):
-        from tinybvh_tpu.tlas.instance import intersect_tlas
+        from tinybvh_tpu.tlas.instance import intersect_tlas8
 
-        return intersect_tlas(self._impl, self.blases, rays, t_max)
+        return intersect_tlas8(self._impl, rays, t_max)
 
     def is_occluded(self, rays: Rays, t_max):
-        from tinybvh_tpu.tlas.instance import is_occluded_tlas
+        from tinybvh_tpu.tlas.instance import is_occluded_tlas8
 
-        return is_occluded_tlas(self._impl, self.blases, rays, t_max)
+        return is_occluded_tlas8(self._impl, rays, t_max)

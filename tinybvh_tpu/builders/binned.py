@@ -66,10 +66,30 @@ def build_binned(
                         tiny_bvh.h:1988-2018).
     """
     tris = np.asarray(tris, np.float32)
-    N = tris.shape[0]
+    return build_binned_aabbs(
+        tris.min(axis=1), tris.max(axis=1),
+        bins=bins, c_trav=c_trav, c_int=c_int, max_leaf=max_leaf,
+        strategy=strategy,
+    )
+
+
+def build_binned_aabbs(
+    fmin,
+    fmax,
+    bins: int = 8,
+    c_trav: float = C_TRAV,
+    c_int: float = C_INT,
+    max_leaf: int | None = None,
+    strategy: str = "sah",
+) -> BVH2:
+    """Build a BVH2 over raw (N, 3) AABBs — the custom-AABB / TLAS entry
+    point (≙ BVH::Build(aabbs, …) tiny_bvh.h:2151-2189 and the TLAS build
+    tiny_bvh.h:2221-2259, which runs the same binned builder over instance
+    world bounds)."""
+    fmin = np.asarray(fmin, np.float32)
+    fmax = np.asarray(fmax, np.float32)
+    N = fmin.shape[0]
     assert N >= 1
-    fmin = tris.min(axis=1)
-    fmax = tris.max(axis=1)
     cent = (fmin + fmax) * 0.5
 
     M = 2 * N + 2

@@ -1,0 +1,372 @@
+"""TLAS / BLAS instancing: merged-table two-level 8-wide traversal.
+
+TPU-native counterpart of BLASInstance + the TLAS build/traversal
+(tiny_bvh.h:1443-1475, 2221-2259, 3306-3380). The reference walks a TLAS
+whose leaves hold instance ids, re-transforms the ray per instance and
+recursively calls the BLAS's own Intersect. Pointer-chasing across
+heterogeneous BVH objects doesn't batch, so the TPU design merges
+everything into ONE node/leaf table:
+
+  * all BLAS BVH8 tables are concatenated (child/leaf indices rebased);
+  * the TLAS is itself built 8-wide over instance world AABBs, with
+    instance entries encoded directly in child words;
+  * the traversal is a single batched state machine whose per-ray state
+    includes the current instance frame; entering an instance swaps in the
+    transformed ray (directions NOT normalized, so hit-t is identical in
+    both spaces — same trick as tiny_bvh.h:3329-3333).
+
+child-word encoding e (int32):
+  e >= 0            → node row (merged table)
+  -L <= e <= -1     → leaf row  (-e - 1), L = total leaf rows
+  e < -L            → instance  (-e - 1 - L)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from flax import struct
+
+from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
+from tinybvh_tpu.core.rays import Hits, Rays
+from tinybvh_tpu.core.vecmath import BVH_FAR, mat4_inverse, transform_aabb
+from tinybvh_tpu.layouts.mbvh import BVH8, EMPTY_SLOT
+
+STACK_DEPTH = 64
+_EMPTY = jnp.int32(-(2**31) + 1)
+
+
+@struct.dataclass
+class TLAS8:
+    bounds: jnp.ndarray      # (M, 48) f32 merged node table (TLAS rows first)
+    child: jnp.ndarray       # (M, 8) i32 encoded child words
+    leaf_tris: jnp.ndarray   # (L, 4, 3, 3) f32 merged leaf table
+    leaf_prim: jnp.ndarray   # (L, 4) i32 BLAS-local prim ids
+    inst_inv: jnp.ndarray    # (I, 4, 4) f32 world→BLAS transforms
+    inst_mask: jnp.ndarray   # (I,) i32 visibility masks
+    inst_root: jnp.ndarray   # (I,) i32 merged-table root row of the BLAS
+    n_leaf_rows: int = struct.field(pytree_node=False)
+
+
+def build_tlas(blases, transforms, masks=None, builder=None) -> TLAS8:
+    """Build a TLAS8 from BVH8 BLASes + per-instance 4x4 transforms.
+
+    blases: list of BVH8 (from layouts.mbvh.collapse_bvh2) — instances index
+    into this list via blas_ids; transforms: (I, 4, 4) or list of
+    (blas_id, transform) pairs.
+    """
+    from tinybvh_tpu.builders.binned import build_binned_aabbs
+
+    if isinstance(transforms, (list, tuple)) and transforms and isinstance(
+        transforms[0], tuple
+    ):
+        blas_ids = np.array([b for b, _ in transforms], np.int32)
+        mats = np.stack([np.asarray(m, np.float32) for _, m in transforms])
+    else:
+        mats = np.asarray(transforms, np.float32)
+        blas_ids = np.zeros(mats.shape[0], np.int32)
+    I = mats.shape[0]
+    if masks is None:
+        masks = np.full(I, 0xFFFF, np.int32)
+
+    # ---- merge BLAS tables ------------------------------------------------
+    node_off, leaf_off = [], []
+    bounds_list, child_list, ltris, lprim = [], [], [], []
+    n_nodes = 0
+    n_leaves = 0
+    for b in blases:
+        node_off.append(n_nodes)
+        leaf_off.append(n_leaves)
+        bounds_list.append(np.asarray(b.bounds))
+        ch = np.asarray(b.child).copy()
+        ch = np.where(
+            ch == EMPTY_SLOT, ch,
+            np.where(ch >= 0, ch + n_nodes, ch - n_leaves),
+        )
+        child_list.append(ch)
+        ltris.append(np.asarray(b.leaf_tris))
+        lprim.append(np.asarray(b.leaf_prim))
+        n_nodes += b.n_nodes
+        n_leaves += b.n_leaves
+
+    # ---- instance world AABBs + TLAS build --------------------------------
+    inst_root_local = np.array(
+        [node_off[blas_ids[i]] for i in range(I)], np.int32
+    )
+    blas_lo = np.stack([
+        np.asarray(blases[blas_ids[i]].bounds[0]).reshape(6, 8)[:3].min(1)
+        for i in range(I)
+    ])
+    blas_hi = np.stack([
+        np.asarray(blases[blas_ids[i]].bounds[0]).reshape(6, 8)[3:].max(1)
+        for i in range(I)
+    ])
+    wlo, whi = transform_aabb(
+        jnp.asarray(mats), jnp.asarray(blas_lo), jnp.asarray(blas_hi)
+    )
+    wlo, whi = np.asarray(wlo), np.asarray(whi)
+
+    tlas2 = (builder or partial(build_binned_aabbs, max_leaf=1))(wlo, whi)
+
+    # ---- collapse TLAS BVH2 to 8-wide with instance child words ----------
+    mn = np.asarray(tlas2.node_min)
+    mx = np.asarray(tlas2.node_max)
+    lf = np.asarray(tlas2.left_first)
+    ct = np.asarray(tlas2.count)
+    pidx = np.asarray(tlas2.prim_idx)
+    L = n_leaves
+
+    def inst_code(i):
+        return -(int(i) + 1 + L)
+
+    t_bounds, t_child = [], []
+
+    def area(i):
+        e = np.maximum(mx[i] - mn[i], 0)
+        return e[0] * e[1] + e[1] * e[2] + e[2] * e[0]
+
+    if ct[0] > 0:  # root is a leaf (single instance)
+        rb = np.full((6, 8), BVH_FAR, np.float32)
+        rb[3:] = -BVH_FAR
+        rc = np.full(8, EMPTY_SLOT, np.int64)
+        rb[:3, 0] = mn[0]
+        rb[3:, 0] = mx[0]
+        rc[0] = inst_code(pidx[lf[0]])
+        t_bounds.append(rb)
+        t_child.append(rc)
+    else:
+        t_bounds.append(None)
+        t_child.append(None)
+        work = [(0, 0)]
+        while work:
+            b2node, row = work.pop()
+            kids = [lf[b2node], lf[b2node] + 1]
+            while len(kids) < 8:
+                best, best_a = -1, -1.0
+                for k, c in enumerate(kids):
+                    if ct[c] == 0:
+                        a = area(c)
+                        if a > best_a:
+                            best, best_a = k, a
+                if best < 0:
+                    break
+                c = kids.pop(best)
+                kids.extend((lf[c], lf[c] + 1))
+            rb = np.full((6, 8), BVH_FAR, np.float32)
+            rb[3:] = -BVH_FAR
+            rc = np.full(8, EMPTY_SLOT, np.int64)
+            for k, c in enumerate(kids):
+                rb[:3, k] = mn[c]
+                rb[3:, k] = mx[c]
+                if ct[c] > 0:
+                    rc[k] = inst_code(pidx[lf[c]])
+                else:
+                    t_bounds.append(None)
+                    t_child.append(None)
+                    rc[k] = len(t_bounds) - 1
+                    work.append((c, len(t_bounds) - 1))
+            t_bounds[row] = rb
+            t_child[row] = rc
+
+    n_tlas = len(t_bounds)
+    tlas_bounds = np.stack([b.reshape(-1) for b in t_bounds])
+    tlas_child = np.stack(t_child)
+    # TLAS rows come first; BLAS node refs shift by n_tlas, leaf/instance
+    # codes are row-count independent
+    merged_bounds = np.concatenate([tlas_bounds] + [
+        b.reshape(b.shape[0], -1) for b in bounds_list
+    ]) if bounds_list else tlas_bounds
+    merged_child = np.concatenate([tlas_child] + [
+        np.where(c >= 0, c + n_tlas, c) for c in child_list
+    ]) if child_list else tlas_child
+
+    inv = np.asarray(mat4_inverse(jnp.asarray(mats)))
+
+    return TLAS8(
+        bounds=jnp.asarray(merged_bounds, jnp.float32),
+        child=jnp.asarray(merged_child, jnp.int32),
+        leaf_tris=jnp.asarray(np.concatenate(ltris), jnp.float32),
+        leaf_prim=jnp.asarray(np.concatenate(lprim), jnp.int32),
+        inst_inv=jnp.asarray(inv, jnp.float32),
+        inst_mask=jnp.asarray(masks, jnp.int32),
+        inst_root=jnp.asarray(inst_root_local + n_tlas, jnp.int32),
+        n_leaf_rows=int(n_leaves),
+    )
+
+
+def _slab8(o, rd, t, bounds):
+    b = bounds.reshape(-1, 6, 8)
+    t1x = (b[:, 0] - o[:, 0:1]) * rd[:, 0:1]
+    t2x = (b[:, 3] - o[:, 0:1]) * rd[:, 0:1]
+    t1y = (b[:, 1] - o[:, 1:2]) * rd[:, 1:2]
+    t2y = (b[:, 4] - o[:, 1:2]) * rd[:, 1:2]
+    t1z = (b[:, 2] - o[:, 2:3]) * rd[:, 2:3]
+    t2z = (b[:, 5] - o[:, 2:3]) * rd[:, 2:3]
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    hit = (tmax >= tmin) & (tmin < t[:, None]) & (tmax >= 0.0)
+    return jnp.where(hit, tmin, BVH_FAR)
+
+
+def _xform_ray(inv, o, d):
+    """Apply (R, 4, 4) world→BLAS transforms; directions unnormalized."""
+    o2 = jnp.einsum("rij,rj->ri", inv[:, :3, :3], o) + inv[:, :3, 3]
+    d2 = jnp.einsum("rij,rj->ri", inv[:, :3, :3], d)
+    from tinybvh_tpu.core.vecmath import safe_rcp
+
+    return o2, d2, safe_rcp(d2)
+
+
+@partial(jax.jit, static_argnames=())
+def intersect_tlas8(tlas: TLAS8, rays: Rays, t_max=BVH_FAR) -> Hits:
+    """Closest-hit two-level traversal; Hits.inst is the instance id and
+    Hits.prim the BLAS-local primitive id (matching the reference's
+    Intersection record semantics, tiny_bvh.h:693-703)."""
+    o, d = rays.o, rays.d
+    R = o.shape[0]
+    rows = jnp.arange(R)
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    v0t, e1t, e2t = tri_edges(tlas.leaf_tris)
+    L = tlas.n_leaf_rows
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (1, 4, 4))
+    inv_all = jnp.concatenate([tlas.inst_inv, eye], axis=0)  # frame -1 → id
+    n_inst = tlas.inst_inv.shape[0]
+
+    state = dict(
+        cur=jnp.zeros(R, jnp.int32),
+        frame=jnp.full(R, -1, jnp.int32),
+        o2=o, d2=d, rd2=rays.rd,
+        sp=jnp.zeros(R, jnp.int32),
+        stack_e=jnp.zeros((R, STACK_DEPTH), jnp.int32),
+        stack_d=jnp.zeros((R, STACK_DEPTH), jnp.float32),
+        stack_f=jnp.full((R, STACK_DEPTH), -1, jnp.int32),
+        t=t0,
+        u=jnp.zeros(R, jnp.float32),
+        v=jnp.zeros(R, jnp.float32),
+        prim=jnp.full(R, -1, jnp.int32),
+        inst=jnp.full(R, -1, jnp.int32),
+        done=jnp.zeros(R, bool),
+    )
+
+    def cond(s):
+        return jnp.any(~s["done"])
+
+    def body(s):
+        cur, sp, done, t = s["cur"], s["sp"], s["done"], s["t"]
+        frame, o2, d2, rd2 = s["frame"], s["o2"], s["d2"], s["rd2"]
+
+        # ---- pop (with frame restore) -----------------------------------
+        need_pop = (cur == _EMPTY) & ~done
+        can_pop = need_pop & (sp > 0)
+        nsp = jnp.where(can_pop, sp - 1, sp)
+        col = jnp.clip(nsp, 0, STACK_DEPTH - 1)
+        pe = s["stack_e"][rows, col]
+        pd = s["stack_d"][rows, col]
+        pf = s["stack_f"][rows, col]
+        take = can_pop & (pd < t)
+        cur = jnp.where(take, pe, cur)
+        new_frame = jnp.where(take, pf, frame)
+        switch = take & (new_frame != frame)
+        # recompute the frame-local ray where the frame changed
+        inv = inv_all[jnp.where(new_frame < 0, n_inst, new_frame)]
+        to2, td2, trd2 = _xform_ray(inv, o, d)
+        o2 = jnp.where(switch[:, None], to2, o2)
+        d2 = jnp.where(switch[:, None], td2, d2)
+        rd2 = jnp.where(switch[:, None], trd2, rd2)
+        frame = new_frame
+        done = done | (need_pop & (sp == 0))
+        sp = nsp
+
+        proc = (cur != _EMPTY) & ~done
+        is_node = proc & (cur >= 0)
+        code = jnp.where(proc & (cur < 0), -cur - 1, 0)  # leaf/instance code
+        is_leaf = proc & (cur < 0) & (code < L)
+        is_inst = proc & (cur < 0) & (code >= L)
+
+        # ---- interior node ----------------------------------------------
+        nrow = jnp.where(is_node, cur, 0)
+        dist = _slab8(o2, rd2, t, tlas.bounds[nrow])
+        dist = jnp.where(is_node[:, None], dist, BVH_FAR)
+        kids = tlas.child[nrow]
+        valid = (dist < BVH_FAR) & (kids != EMPTY_SLOT)
+        dist = jnp.where(valid, dist, BVH_FAR)
+        near = jnp.argmin(dist, axis=1)
+        any_valid = valid.any(axis=1)
+        next_node = jnp.where(any_valid, kids[rows, near], _EMPTY)
+
+        stack_e, stack_d, stack_f = s["stack_e"], s["stack_d"], s["stack_f"]
+        for k in range(8):
+            push = is_node & valid[:, k] & (near != k)
+            colp = jnp.clip(sp, 0, STACK_DEPTH - 1)
+            oe = stack_e[rows, colp]
+            od = stack_d[rows, colp]
+            of = stack_f[rows, colp]
+            stack_e = stack_e.at[rows, colp].set(
+                jnp.where(push, kids[:, k], oe))
+            stack_d = stack_d.at[rows, colp].set(
+                jnp.where(push, dist[:, k], od))
+            stack_f = stack_f.at[rows, colp].set(jnp.where(push, frame, of))
+            sp = jnp.where(push, sp + 1, sp)
+
+        # ---- leaf --------------------------------------------------------
+        lrow = jnp.where(is_leaf, code, 0)
+        hit, th, uh, vh = moller_trumbore(
+            o2[:, None, :], d2[:, None, :], v0t[lrow], e1t[lrow], e2t[lrow],
+            t[:, None],
+        )
+        th = jnp.where(hit & is_leaf[:, None], th, BVH_FAR)
+        best = jnp.argmin(th, axis=1)
+        bt = th[rows, best]
+        improved = bt < t
+        t = jnp.where(improved, bt, t)
+        u = jnp.where(improved, uh[rows, best], s["u"])
+        v = jnp.where(improved, vh[rows, best], s["v"])
+        prim = jnp.where(improved, tlas.leaf_prim[lrow, best], s["prim"])
+        inst = jnp.where(improved, frame, s["inst"])
+
+        # ---- instance entry: switch frame, jump to BLAS root ------------
+        iid = jnp.where(is_inst, code - L, 0)
+        mask_ok = (tlas.inst_mask[iid] & rays.mask) != 0
+        enter = is_inst & mask_ok
+        inv_i = inv_all[jnp.where(enter, iid, n_inst)]
+        io2, id2, ird2 = _xform_ray(inv_i, o, d)
+        o2 = jnp.where(enter[:, None], io2, o2)
+        d2 = jnp.where(enter[:, None], id2, d2)
+        rd2 = jnp.where(enter[:, None], ird2, rd2)
+        frame = jnp.where(enter, iid, frame)
+
+        cur = jnp.where(
+            is_node, next_node,
+            jnp.where(enter, tlas.inst_root[iid], _EMPTY),
+        )
+        return dict(
+            cur=cur, frame=frame, o2=o2, d2=d2, rd2=rd2, sp=sp,
+            stack_e=stack_e, stack_d=stack_d, stack_f=stack_f,
+            t=t, u=u, v=v, prim=prim, inst=inst, done=done,
+        )
+
+    s = lax.while_loop(cond, body, state)
+    ok = s["prim"] >= 0
+    return Hits(
+        t=jnp.where(ok, s["t"], BVH_FAR),
+        u=s["u"], v=s["v"], prim=s["prim"], inst=s["inst"],
+    )
+
+
+@jax.jit
+def is_occluded_tlas8(tlas: TLAS8, rays: Rays, t_max):
+    """Any-hit two-level query (currently closest-hit based; a dedicated
+    early-exit variant mirroring IsOccludedTLAS tiny_bvh.h:3455 is a
+    planned optimization)."""
+    h = intersect_tlas8(tlas, rays, t_max)
+    return h.prim >= 0

@@ -250,8 +250,13 @@ def _slab(o, rd, t, bmin, bmax):
 
 
 def _scatter_row(arr, col_idx, values, mask):
-    """arr: (R, S); write values (R,) at [r, col_idx[r]] where mask."""
-    R = arr.shape[0]
-    rows = jnp.arange(R)
-    updated = arr.at[rows, col_idx].set(values.astype(arr.dtype))
-    return jnp.where(mask[:, None], updated, arr)
+    """arr: (R, S); write values (R,) at [r, col_idx[r]] where mask.
+
+    Implemented as gather-merge-scatter of (R,) vectors so the (R, S) stack
+    is only ever updated in place — a full-array select here would move the
+    whole stack through HBM every traversal step.
+    """
+    rows = jnp.arange(arr.shape[0])
+    old = arr[rows, col_idx]
+    merged = jnp.where(mask, values.astype(arr.dtype), old)
+    return arr.at[rows, col_idx].set(merged)
