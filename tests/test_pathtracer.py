@@ -1,0 +1,106 @@
+"""Path tracer tests: energy sanity on a Cornell-style box."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinybvh_tpu.builders.binned import build_binned
+from tinybvh_tpu.core.rays import make_rays
+from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+from tinybvh_tpu.render.pathtracer import make_scene_arrays, trace_paths
+
+
+def _quad(a, b, c, d):
+    a, b, c, d = (np.asarray(x, np.float32) for x in (a, b, c, d))
+    return np.stack([[a, b, c], [a, c, d]])
+
+
+def cornell():
+    """A 2-unit box with a ceiling light patch."""
+    tris = []
+    # floor y=0, ceiling y=2, back z=2, left x=0 (red), right x=2 (green)
+    tris.append(_quad([0, 0, 0], [2, 0, 0], [2, 0, 2], [0, 0, 2]))  # floor
+    tris.append(_quad([0, 2, 2], [2, 2, 2], [2, 2, 0], [0, 2, 0]))  # ceiling
+    tris.append(_quad([0, 0, 2], [2, 0, 2], [2, 2, 2], [0, 2, 2]))  # back
+    tris.append(_quad([0, 0, 0], [0, 0, 2], [0, 2, 2], [0, 2, 0]))  # left
+    tris.append(_quad([2, 0, 2], [2, 0, 0], [2, 2, 0], [2, 2, 2]))  # right
+    # light: small patch just below ceiling
+    tris.append(_quad([0.7, 1.98, 1.3], [1.3, 1.98, 1.3],
+                      [1.3, 1.98, 0.7], [0.7, 1.98, 0.7]))
+    tris = np.concatenate(tris)
+    n = tris.shape[0]
+    albedo = np.full((n, 3), 0.7, np.float32)
+    albedo[6:8] = [0.8, 0.2, 0.2]   # left wall red
+    albedo[8:10] = [0.2, 0.8, 0.2]  # right wall green
+    emissive = np.zeros((n, 3), np.float32)
+    emissive[10:12] = 8.0
+    albedo[10:12] = 0.0
+    return tris, albedo, emissive
+
+
+def _setup():
+    tris, albedo, emissive = cornell()
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    scene = make_scene_arrays(tris, albedo, emissive)
+    return bvh8, scene
+
+
+def test_direct_light_visible():
+    bvh8, scene = _setup()
+    # ray straight up at the light → sees emission directly
+    r = make_rays([[1.0, 1.0, 1.0]], [[0.0, 1.0, 0.0]])
+    rad = trace_paths(bvh8, scene, r, jax.random.PRNGKey(0), bounces=1)
+    assert float(rad[0].sum()) >= 8.0 * 3 - 1e-3
+
+
+def test_indirect_illumination_positive_and_finite():
+    bvh8, scene = _setup()
+    rng = np.random.default_rng(3)
+    n = 256
+    o = np.tile(np.array([[1.0, 1.0, 0.2]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2])  # into the box
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    rad = np.zeros((n, 3), np.float32)
+    key = jax.random.PRNGKey(1)
+    for s in range(8):
+        key, k = jax.random.split(key)
+        rad += np.asarray(trace_paths(bvh8, scene, rays, k, bounces=3))
+    rad /= 8
+    assert np.isfinite(rad).all()
+    assert rad.mean() > 0.01  # the box is lit
+    assert rad.mean() < 8.0  # and not exploding
+
+
+def test_color_bleeding():
+    """Rays toward the red wall should come back redder than green."""
+    bvh8, scene = _setup()
+    n = 128
+    o = np.tile(np.array([[1.0, 1.0, 1.0]], np.float32), (n, 1))
+    d = np.tile(np.array([[-1.0, 0.0, 0.0]], np.float32), (n, 1))
+    rays = make_rays(o, d)
+    acc = np.zeros((n, 3), np.float32)
+    key = jax.random.PRNGKey(2)
+    for s in range(16):
+        key, k = jax.random.split(key)
+        acc += np.asarray(trace_paths(bvh8, scene, rays, k, bounces=2))
+    mean = acc.mean(axis=0) / 16
+    assert mean[0] > mean[1] * 1.5  # red wall dominates
+
+
+def test_occlusion_darkens():
+    """A point under the light vs a point in the corner shadowed by
+    geometry distance: direct NEE should differ."""
+    bvh8, scene = _setup()
+    r_mid = make_rays([[1.0, 1.9, 1.0]], [[0.0, -1.0, 0.0]])
+    r_corner = make_rays([[0.05, 0.05, 0.05]], [[0.0, -1.0, 0.0]])
+    acc_m = acc_c = 0.0
+    key = jax.random.PRNGKey(5)
+    for s in range(32):
+        key, k1, k2 = jax.random.split(key, 3)
+        acc_m += float(np.asarray(
+            trace_paths(bvh8, scene, r_mid, k1, bounces=1)).sum())
+        acc_c += float(np.asarray(
+            trace_paths(bvh8, scene, r_corner, k2, bounces=1)).sum())
+    assert acc_m > acc_c  # floor under the light is brighter
