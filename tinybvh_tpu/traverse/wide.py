@@ -84,9 +84,16 @@ def _push8(stack_e, stack_d, sp, kids, dist, pushmask):
 
 
 @partial(jax.jit, static_argnames=("with_cost",))
-def intersect_bvh8(bvh8: BVH8, rays: Rays, t_max=BVH_FAR, with_cost=False):
+def intersect_bvh8(bvh8: BVH8, rays: Rays, t_max=BVH_FAR, with_cost=False,
+                   omap=None):
     """Closest-hit traversal over the 8-wide layout. Returns Hits with
-    global primitive ids."""
+    global primitive ids.
+
+    omap: optional (L, 4, S, S) bool opacity micromaps aligned with the
+    leaf-triangle table (see ops.omap.leaf_align); a triangle hit whose
+    barycentric cell bit is 0 is transparent and ignored (≙ the
+    opacity-micromap test after the tri hit, tiny_bvh.h:8514-8522).
+    """
     o, d, rd = rays.o, rays.d, rays.rd
     R = o.shape[0]
     rows = jnp.arange(R)
@@ -149,6 +156,13 @@ def intersect_bvh8(bvh8: BVH8, rays: Rays, t_max=BVH_FAR, with_cost=False):
             o[:, None, :], d[:, None, :], v0t[lrow], e1t[lrow], e2t[lrow],
             t[:, None],
         )
+        if omap is not None:
+            S = omap.shape[-1]
+            iu = jnp.clip((uh * S).astype(jnp.int32), 0, S - 1)
+            iv = jnp.clip((vh * S).astype(jnp.int32), 0, S - 1)
+            lanes4 = jnp.arange(4, dtype=jnp.int32)
+            opaque = omap[lrow[:, None], lanes4[None, :], iu, iv]
+            hit = hit & opaque
         th = jnp.where(hit & is_leaf[:, None], th, BVH_FAR)
         best = jnp.argmin(th, axis=1)
         bt = jnp.min(th, axis=1)
