@@ -62,30 +62,36 @@ def main():
     rays = make_rays(o, d)
     n_rays = d.shape[0]
 
-    # primary rays: warm-up compile pass, then timed passes
-    hits = bvh.intersect(rays)
+    # primary rays (wavefront traversal): warm-up compile, then timed passes
+    from tinybvh_tpu.traverse.wavefront import (
+        intersect_wavefront, is_occluded_wavefront,
+    )
+
+    hits, _ = intersect_wavefront(bvh.bvh8, rays, cap_factor=2)
     jax.block_until_ready(hits.t)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        hits = bvh.intersect(rays)
-        jax.block_until_ready(hits.t)
+        hits, _ = intersect_wavefront(bvh.bvh8, rays, cap_factor=2)
+        np.asarray(hits.t)
         times.append(time.perf_counter() - t0)
     primary_mrays = n_rays / min(times) / 1e6
     hit_rate = float(np.mean(np.asarray(hits.prim) >= 0))
 
     # shadow rays from hit points toward a fixed light
-    p = np.asarray(rays.o + hits.t[:, None] * rays.d)
+    ht = np.asarray(hits.t)
+    ht = np.where(np.isfinite(ht) & (ht < 1e29), ht, 1.0)
+    p = np.asarray(rays.o) + ht[:, None] * np.asarray(rays.d)
     light = center + np.array([0, 2.0, 0]) * extent
     sd = light[None, :] - p
     sn = np.linalg.norm(sd, axis=1, keepdims=True)
     srays = make_rays((p + sd / sn * 1e-3).astype(np.float32),
                       (sd / sn).astype(np.float32))
-    occ = bvh.is_occluded(srays, t_max=float(np.median(sn)))
-    jax.block_until_ready(occ)
+    occ = is_occluded_wavefront(bvh.bvh8, srays, float(np.median(sn)))
+    np.asarray(occ)
     t0 = time.perf_counter()
-    occ = bvh.is_occluded(srays, t_max=float(np.median(sn)))
-    jax.block_until_ready(occ)
+    occ = is_occluded_wavefront(bvh.bvh8, srays, float(np.median(sn)))
+    np.asarray(occ)
     shadow_mrays = n_rays / (time.perf_counter() - t0) / 1e6
 
     target = 500.0  # BASELINE.json north-star MRays/s per chip

@@ -1,0 +1,134 @@
+"""Scene layer tests: OBJ/glTF loading, node graph, animation, per-frame
+BVH update, end-to-end tracing through Scene."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tinybvh_tpu.core.rays import make_rays
+from tinybvh_tpu.core.vecmath import BVH_FAR
+from tinybvh_tpu.scene.graph import Animation, Node, Scene
+from tinybvh_tpu.scene.mesh import Mesh, load_gltf, load_obj
+
+OBJ = "/root/reference/testdata/legocar.obj"
+GLTF = "/root/reference/testdata/balloon/scene.gltf"
+DRONE = "/root/reference/testdata/drone/scene.gltf"
+
+
+@pytest.mark.skipif(not os.path.exists(OBJ), reason="no testdata")
+def test_load_obj_legocar():
+    mesh = load_obj(OBJ)
+    assert mesh.tris.shape[0] > 1000
+    assert mesh.tris.shape[1:] == (3, 3)
+    assert np.isfinite(mesh.tris).all()
+    assert mesh.normals.shape == mesh.tris.shape
+
+
+@pytest.mark.skipif(not os.path.exists(GLTF), reason="no testdata")
+def test_load_gltf_balloon():
+    data = load_gltf(GLTF)
+    assert len(data["meshes"]) == 37
+    n = sum(m.tris.shape[0] for m in data["meshes"])
+    assert n > 1000
+    assert len(data["materials"]) == 37
+
+
+@pytest.mark.skipif(not os.path.exists(GLTF), reason="no testdata")
+def test_scene_from_gltf_traces():
+    s = Scene.from_gltf(GLTF)
+    s.update(0.0)
+    # aim at the scene's TLAS bounds
+    b = s.tlas.bounds[0].reshape(6, 8)
+    lo = np.asarray(b[:3]).min(axis=1)
+    hi = np.asarray(b[3:]).max(axis=1)
+    center = (lo + hi) / 2
+    ext = float((hi - lo).max())
+    eye = center + np.array([0, 0, ext * 2], np.float32)
+    n = 64
+    rng = np.random.default_rng(0)
+    d = center[None] + rng.uniform(-0.3, 0.3, (n, 3)) * ext - eye[None]
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    rays = make_rays(np.tile(eye[None], (n, 1)).astype(np.float32), d)
+    hits = s.intersect(rays)
+    assert (np.asarray(hits.prim) >= 0).mean() > 0.3  # most rays hit
+
+
+def test_node_animation_moves_geometry():
+    tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    s = Scene()
+    mid = s.add_mesh(Mesh(tris=tri))
+    nid = s.add_instance(mid)
+    s.nodes[nid].matrix = None
+    # animate translation 0 → +10x over 1s
+    s.animations.append(Animation([dict(
+        node=nid, path="translation",
+        times=np.array([0.0, 1.0]),
+        values=np.array([[0, 0, 0], [10, 0, 0]], np.float32),
+        interp="LINEAR",
+    )]))
+    ray0 = make_rays([[0.2, 0.2, -5.0]], [[0, 0, 1.0]])
+    ray1 = make_rays([[5.2, 0.2, -5.0]], [[0, 0, 1.0]])
+
+    s.update(0.0)
+    assert int(s.intersect(ray0).prim[0]) == 0
+    assert int(s.intersect(ray1).prim[0]) == -1
+
+    s.update(0.5)  # mesh now at x+5
+    assert int(s.intersect(ray0).prim[0]) == -1
+    assert int(s.intersect(ray1).prim[0]) == 0
+
+
+def test_morph_targets_deform():
+    tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    m = Mesh(tris=tri)
+    m.base_tris = tri.copy()
+    m.morph_targets = np.array([[[[0, 0, 2], [0, 0, 2], [0, 0, 2]]]],
+                               np.float32)  # push +z
+    s = Scene()
+    mid = s.add_mesh(m, policy="dynamic")
+    nid = s.add_instance(mid)
+    s.nodes[nid].morph_weights = np.array([0.0], np.float32)
+    s.update(0.0)
+    r = make_rays([[0.2, 0.2, -5.0]], [[0, 0, 1.0]])
+    t0 = float(s.intersect(r).t[0])
+    s.nodes[nid].morph_weights = np.array([1.0], np.float32)
+    s.update(0.0)
+    t1 = float(s.intersect(r).t[0])
+    np.testing.assert_allclose(t1 - t0, 2.0, atol=1e-4)
+
+
+def test_skinning_two_joints():
+    """Two-triangle strip skinned to two joints; rotating joint 1 moves
+    only the verts weighted to it."""
+    tris = np.array([
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+        [[2, 0, 0], [3, 0, 0], [2, 1, 0]],
+    ], np.float32)
+    m = Mesh(tris=tris)
+    m.base_tris = tris.copy()
+    m.joints = np.zeros((2, 3, 4), np.int32)
+    m.joints[1] = 1  # second triangle bound to joint 1
+    m.weights = np.zeros((2, 3, 4), np.float32)
+    m.weights[:, :, 0] = 1.0
+    s = Scene()
+    mid = s.add_mesh(m, policy="dynamic")
+    j0 = s.add_node(Node(name="j0"))
+    j1 = s.add_node(Node(name="j1"))
+    inst = s.add_node(Node(mesh=mid, skin=0))
+    from tinybvh_tpu.scene.graph import Skin
+
+    s.skins.append(Skin(joints=[j0, j1],
+                        inverse_bind=np.stack([np.eye(4), np.eye(4)]).astype(np.float32)))
+    s.update(0.0)
+    r0 = make_rays([[0.2, 0.2, -5.0]], [[0, 0, 1.0]])
+    r1 = make_rays([[2.2, 0.2, -5.0]], [[0, 0, 1.0]])
+    assert int(s.intersect(r0).prim[0]) >= 0
+    assert int(s.intersect(r1).prim[0]) >= 0
+    # move joint 1 by +5z: triangle 1 shifts, triangle 0 stays
+    s.nodes[j1].translation = np.array([0, 0, 5], np.float32)
+    s.update(0.0)
+    h0 = s.intersect(r0)
+    h1 = s.intersect(r1)
+    np.testing.assert_allclose(float(h0.t[0]), 5.0, atol=1e-4)
+    np.testing.assert_allclose(float(h1.t[0]), 10.0, atol=1e-4)

@@ -1,0 +1,328 @@
+"""Scene graph: nodes, animation, skinning, lights, per-frame BVH update.
+
+Counterpart of tiny_scene.h's Node/Animation/Skin/Scene layer
+(tiny_scene.h:456-489, 607-647, 773-842, 1888-2139, 2389-2686, 3664-3697):
+a TRS node hierarchy over mesh instances, animation channels writing node
+TRS and morph weights, skins providing joint matrices, and
+`Scene.update(dt)` doing animations → node recursion (BLAS rebuild/refit on
+deformation) → TLAS rebuild — the reference's per-frame orchestrator
+(UpdateSceneGraph, tiny_scene.h:3664-3697).
+
+BVH build policy mirrors the reference's enum (tiny_scene.h:106-110):
+  'dynamic' → fast rebuild each frame when geometry deforms (LBVH)
+  'rigid'   → high-quality build once, refit on deformation (binned SAH)
+  'static'  → high-quality build once, never updated
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from tinybvh_tpu.builders.binned import build_binned
+from tinybvh_tpu.scene.mesh import Material, Mesh, Texture
+
+
+def _trs_matrix(t, r, s):
+    """TRS → 4x4 (r is an xyzw quaternion, glTF convention)."""
+    x, y, z, w = r
+    rot = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = rot * np.asarray(s, np.float32)[None, :]
+    m[:3, 3] = t
+    return m
+
+
+@dataclass
+class Node:
+    """TRS node (≙ tiny_scene.h:456-489)."""
+
+    name: str = ""
+    translation: np.ndarray = field(
+        default_factory=lambda: np.zeros(3, np.float32))
+    rotation: np.ndarray = field(
+        default_factory=lambda: np.array([0, 0, 0, 1], np.float32))
+    scale: np.ndarray = field(default_factory=lambda: np.ones(3, np.float32))
+    matrix: np.ndarray | None = None  # overrides TRS when set
+    children: list = field(default_factory=list)
+    mesh: int = -1      # index into Scene.meshes
+    skin: int = -1
+    morph_weights: np.ndarray | None = None
+    world: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float32))
+
+    def local_matrix(self):
+        if self.matrix is not None:
+            return np.asarray(self.matrix, np.float32)
+        return _trs_matrix(self.translation, self.rotation, self.scale)
+
+
+@dataclass
+class Skin:
+    joints: list                      # node indices
+    inverse_bind: np.ndarray          # (J, 4, 4)
+
+
+class Animation:
+    """Sampler+channel animation (≙ tiny_scene.h:607-647, 2389-2686).
+
+    channels: list of dicts {node, path ('translation'|'rotation'|'scale'|
+    'weights'), times (K,), values (K, …), interp ('LINEAR'|'STEP')}.
+    """
+
+    def __init__(self, channels, name=""):
+        self.channels = channels
+        self.name = name
+        self.duration = max(
+            (float(c["times"][-1]) for c in channels if len(c["times"])),
+            default=0.0,
+        )
+
+    def apply(self, nodes, t):
+        if self.duration > 0:
+            t = t % self.duration
+        for ch in self.channels:
+            times = ch["times"]
+            vals = ch["values"]
+            k = int(np.searchsorted(times, t, side="right") - 1)
+            k = max(0, min(k, len(times) - 1))
+            k2 = min(k + 1, len(times) - 1)
+            if ch.get("interp", "LINEAR") == "STEP" or k2 == k:
+                v = vals[k]
+            else:
+                span = max(float(times[k2] - times[k]), 1e-9)
+                a = (t - float(times[k])) / span
+                v = (1 - a) * vals[k] + a * vals[k2]
+                if ch["path"] == "rotation":
+                    v = v / max(np.linalg.norm(v), 1e-9)
+            node = nodes[ch["node"]]
+            if ch["path"] == "translation":
+                node.translation = np.asarray(v, np.float32)
+            elif ch["path"] == "rotation":
+                node.rotation = np.asarray(v, np.float32)
+            elif ch["path"] == "scale":
+                node.scale = np.asarray(v, np.float32)
+            elif ch["path"] == "weights":
+                node.morph_weights = np.asarray(v, np.float32)
+            node.matrix = None  # TRS now authoritative
+
+
+@dataclass
+class Light:
+    """Point/spot/directional light (≙ tiny_scene.h:701-766); emissive
+    triangles are detected from materials instead of a TriLight pool."""
+
+    kind: str = "point"  # 'point' | 'spot' | 'directional'
+    position: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    direction: np.ndarray = field(
+        default_factory=lambda: np.array([0, -1, 0], np.float32))
+    color: np.ndarray = field(default_factory=lambda: np.ones(3, np.float32))
+    intensity: float = 1.0
+    cos_inner: float = 0.9
+    cos_outer: float = 0.7
+
+
+class Scene:
+    """Registry + per-frame orchestrator (≙ the static Scene,
+    tiny_scene.h:773-842 — but instantiable, no global state)."""
+
+    def __init__(self):
+        self.meshes: list[Mesh] = []
+        self.materials: list[Material] = [Material()]
+        self.textures: list[Texture] = []
+        self.nodes: list[Node] = []
+        self.roots: list[int] = []
+        self.animations: list[Animation] = []
+        self.skins: list[Skin] = []
+        self.lights: list[Light] = []
+        self.bvh_policy: dict[int, str] = {}  # mesh id → policy
+        self.default_policy = "rigid"
+        self._blas = {}
+        self._blas_dirty = set()
+        self._tlas = None
+        self._instances = None
+
+    # -- registry ---------------------------------------------------------
+    def add_mesh(self, mesh: Mesh, policy: str | None = None) -> int:
+        self.meshes.append(mesh)
+        mid = len(self.meshes) - 1
+        self.bvh_policy[mid] = policy or self.default_policy
+        self._blas_dirty.add(mid)
+        return mid
+
+    def add_node(self, node: Node, parent: int | None = None) -> int:
+        self.nodes.append(node)
+        nid = len(self.nodes) - 1
+        if parent is None:
+            self.roots.append(nid)
+        else:
+            self.nodes[parent].children.append(nid)
+        return nid
+
+    def add_instance(self, mesh_id: int, transform=None) -> int:
+        n = Node(mesh=mesh_id)
+        if transform is not None:
+            n.matrix = np.asarray(transform, np.float32)
+        return self.add_node(n)
+
+    def add_material(self, mat: Material) -> int:
+        self.materials.append(mat)
+        return len(self.materials) - 1
+
+    def add_light(self, light: Light) -> int:
+        self.lights.append(light)
+        return len(self.lights) - 1
+
+    @classmethod
+    def from_gltf(cls, path: str) -> "Scene":
+        """≙ Scene::AddScene's glTF branch (tiny_scene.h:3016-3166)."""
+        from tinybvh_tpu.scene.mesh import load_gltf
+
+        data = load_gltf(path)
+        s = cls()
+        s.meshes = data["meshes"]
+        for i in range(len(s.meshes)):
+            s.bvh_policy[i] = s.default_policy
+            s._blas_dirty.add(i)
+        s.materials = data["materials"]
+        g = data["gltf"]
+        for gn in data["nodes"]:
+            n = Node(
+                name=gn.get("name", ""),
+                mesh=gn.get("mesh", -1),
+                skin=gn.get("skin", -1),
+            )
+            if "matrix" in gn:
+                n.matrix = np.asarray(gn["matrix"], np.float32).reshape(4, 4).T
+            n.translation = np.asarray(
+                gn.get("translation", [0, 0, 0]), np.float32)
+            n.rotation = np.asarray(
+                gn.get("rotation", [0, 0, 0, 1]), np.float32)
+            n.scale = np.asarray(gn.get("scale", [1, 1, 1]), np.float32)
+            n.children = list(gn.get("children", []))
+            s.nodes.append(n)
+        scene_def = (g.get("scenes") or [{}])[g.get("scene", 0)]
+        s.roots = list(scene_def.get("nodes", range(len(s.nodes))))
+        # skins
+        from tinybvh_tpu.scene.mesh import _accessor
+
+        for sk in data["skins"]:
+            ibm = _accessor(g, data["buffers"], sk["inverseBindMatrices"])
+            ibm = np.asarray(ibm, np.float32).reshape(-1, 4, 4)
+            ibm = np.transpose(ibm, (0, 2, 1))  # column→row major
+            s.skins.append(Skin(joints=list(sk["joints"]), inverse_bind=ibm))
+        # animations
+        for ga in data["animations"]:
+            chans = []
+            for ch in ga.get("channels", []):
+                sampler = ga["samplers"][ch["sampler"]]
+                times = np.atleast_1d(
+                    _accessor(g, data["buffers"], sampler["input"]))
+                vals = np.atleast_1d(
+                    _accessor(g, data["buffers"], sampler["output"]))
+                tgt = ch["target"]
+                if tgt["path"] == "weights" and len(times):
+                    vals = vals.reshape(len(times), -1)
+                chans.append(dict(
+                    node=tgt["node"], path=tgt["path"], times=times,
+                    values=vals,
+                    interp=sampler.get("interpolation", "LINEAR"),
+                ))
+            s.animations.append(Animation(chans, ga.get("name", "")))
+        return s
+
+    # -- per-frame update (≙ UpdateSceneGraph, tiny_scene.h:3664-3697) ---
+    def update(self, t: float):
+        for anim in self.animations:
+            anim.apply(self.nodes, t)
+
+        instances = []  # (mesh_id, world_matrix)
+        deformed = set()
+
+        def visit(nid, parent_world):
+            node = self.nodes[nid]
+            node.world = parent_world @ node.local_matrix()
+            if node.mesh >= 0:
+                mesh = self.meshes[node.mesh]
+                if node.skin >= 0 and node.skin < len(self.skins):
+                    sk = self.skins[node.skin]
+                    jm = np.stack([
+                        self.nodes[j].world for j in sk.joints
+                    ]) @ sk.inverse_bind
+                    mesh.set_pose_skin(jm)
+                    deformed.add(node.mesh)
+                    # skinned verts are world-space already
+                    instances.append((node.mesh, np.eye(4, dtype=np.float32)))
+                else:
+                    if (node.morph_weights is not None
+                            and mesh.morph_targets is not None):
+                        mesh.set_pose_morph(node.morph_weights)
+                        deformed.add(node.mesh)
+                    instances.append((node.mesh, node.world.copy()))
+            for c in node.children:
+                visit(c, node.world)
+
+        eye = np.eye(4, dtype=np.float32)
+        for r in self.roots:
+            visit(r, eye)
+
+        # BLAS updates per policy (≙ the bvhType switch, tiny_scene.h:1996)
+        for mid in set(list(deformed) + list(self._blas_dirty)):
+            self._update_blas(mid, mid in deformed)
+        self._blas_dirty.clear()
+
+        # TLAS rebuild over current instances
+        self._instances = instances
+        if instances:
+            from tinybvh_tpu.tlas.instance import build_tlas
+
+            used = sorted({m for m, _ in instances})
+            remap = {m: i for i, m in enumerate(used)}
+            pairs = [(remap[m], w) for m, w in instances]
+            self._tlas = build_tlas([self._blas[m] for m in used], pairs)
+        return self
+
+    def _update_blas(self, mid, deformed):
+        from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+
+        mesh = self.meshes[mid]
+        policy = self.bvh_policy.get(mid, self.default_policy)
+        if mid not in self._blas or policy == "dynamic" or (
+            deformed and policy != "rigid"
+        ):
+            bvh2 = build_binned(mesh.tris, max_leaf=4)
+            self._blas[mid] = collapse_bvh2(bvh2, mesh.tris)
+            self._blas_meta = getattr(self, "_blas_meta", {})
+            self._blas_meta[mid] = bvh2
+        elif deformed and policy == "rigid":
+            # refit the BVH2 and re-collapse (cheap relative to rebuild)
+            from tinybvh_tpu.builders.refit import refit
+            from tinybvh_tpu.traverse.stack import pack_tris
+
+            bvh2 = self._blas_meta[mid]
+            packed = pack_tris(bvh2, jnp.asarray(mesh.tris))
+            bvh2 = refit(bvh2, packed, leaf_max=4)
+            self._blas_meta[mid] = bvh2
+            self._blas[mid] = collapse_bvh2(bvh2, mesh.tris)
+
+    # -- tracing ----------------------------------------------------------
+    def intersect(self, rays, t_max=1e30):
+        from tinybvh_tpu.tlas.instance import intersect_tlas8
+
+        assert self._tlas is not None, "call update() first"
+        return intersect_tlas8(self._tlas, rays, t_max)
+
+    def is_occluded(self, rays, t_max):
+        from tinybvh_tpu.tlas.instance import is_occluded_tlas8
+
+        assert self._tlas is not None, "call update() first"
+        return is_occluded_tlas8(self._tlas, rays, t_max)
+
+    @property
+    def tlas(self):
+        return self._tlas

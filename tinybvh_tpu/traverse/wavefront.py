@@ -84,8 +84,15 @@ def intersect_wavefront(
     R = o_all.shape[0]
     P = cap_factor * R
     v0t, e1t, e2t = tri_edges(bvh8.leaf_tris)  # (L, 4, 3)
-    # one fused per-pair ray-data gather: [o | d | rd]
-    ray_data = jnp.concatenate([o_all, d_all, rd_all], axis=1)  # (R, 9)
+    # fuse the leaf geometry into one wide row: [v0|e1|e2] x 4 lanes → 36,
+    # padded to 48 floats — narrow-row gathers are ~5x slower on TPU
+    leaf_geom = jnp.concatenate(
+        [v0t.reshape(-1, 12), e1t.reshape(-1, 12), e2t.reshape(-1, 12),
+         jnp.zeros((v0t.shape[0], 12), jnp.float32)], axis=1)  # (L, 48)
+    # one fused per-pair ray-data gather: [o | d | rd | pad] → (R, 16)
+    ray_data = jnp.concatenate(
+        [o_all, d_all, rd_all, jnp.zeros((o_all.shape[0], 7), jnp.float32)],
+        axis=1)
 
     t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
 
@@ -119,7 +126,7 @@ def intersect_wavefront(
         is_node = active & (pc >= 0)
         is_leaf = active & (pc < 0)
 
-        rdat = ray_data[pr]  # (P, 9)
+        rdat = ray_data[pr]  # (P, 16)
         o = rdat[:, 0:3]
         d = rdat[:, 3:6]
         rd = rdat[:, 6:9]
@@ -133,8 +140,12 @@ def intersect_wavefront(
 
         # ---- leaf pairs: 4-wide Möller–Trumbore -------------------------
         lrow = jnp.where(is_leaf, -pc - 1, 0)
+        geom = leaf_geom[lrow]  # one wide gather
+        gv0 = geom[:, 0:12].reshape(-1, 4, 3)
+        ge1 = geom[:, 12:24].reshape(-1, 4, 3)
+        ge2 = geom[:, 24:36].reshape(-1, 4, 3)
         hit, th, _, _ = moller_trumbore(
-            o[:, None, :], d[:, None, :], v0t[lrow], e1t[lrow], e2t[lrow],
+            o[:, None, :], d[:, None, :], gv0, ge1, ge2,
             tb[:, None],
         )
         th = jnp.where(hit & is_leaf[:, None], th, BVH_FAR)
