@@ -72,3 +72,27 @@ def test_wavefront_t_max(rng):
     ft = np.asarray(full.t)
     cp = np.asarray(clipped.prim)
     assert ((ft < 3.0) == (cp >= 0)).all()
+
+
+def test_quantized_cwbvh_matches(rng):
+    """Quantized (CWBVH-style) bounds are conservative: identical hits."""
+    from tinybvh_tpu.layouts.cwbvh import quantize_bvh8, to_bvh8
+
+    tris = random_tris(1500, seed=44)
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    q = quantize_bvh8(bvh8)
+    rays = _rays(rng, 512)
+    h_ref, _ = intersect_wavefront(bvh8, rays)
+    h_q, ovf = intersect_wavefront(q, rays, cap_factor=4)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(h_q.prim), np.asarray(h_ref.prim))
+    np.testing.assert_allclose(np.asarray(h_q.t), np.asarray(h_ref.t),
+                               rtol=1e-6)
+    # reconstruction contains the exact bounds
+    rec = to_bvh8(q)
+    b0 = np.asarray(bvh8.bounds).reshape(-1, 6, 8)
+    br = np.asarray(rec.bounds).reshape(-1, 6, 8)
+    ok = b0[:, :3] < 1e29  # skip empty slots
+    assert (br[:, :3][ok] <= b0[:, :3][ok] + 1e-5).all()
+    ok2 = b0[:, 3:] > -1e29
+    assert (br[:, 3:][ok2] >= b0[:, 3:][ok2] - 1e-5).all()

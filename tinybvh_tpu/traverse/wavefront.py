@@ -80,9 +80,15 @@ def intersect_wavefront(
     cap_factor bounds the frontier at cap_factor·R pairs; overflow drops
     pairs (returned flag reports it — raise cap_factor if it ever fires).
     """
+    from tinybvh_tpu.layouts.cwbvh import BVH8Q, dequantize_bounds
+
     o_all, d_all, rd_all = rays.o, rays.d, rays.rd
     R = o_all.shape[0]
     P = cap_factor * R
+    if isinstance(bvh8, BVH8Q):
+        get_bounds = lambda rows: dequantize_bounds(bvh8, rows)
+    else:
+        get_bounds = lambda rows: bvh8.bounds[rows]
     v0t, e1t, e2t = tri_edges(bvh8.leaf_tris)  # (L, 4, 3)
     # fuse the leaf geometry into one wide row: [v0|e1|e2] x 4 lanes → 36,
     # padded to 48 floats — narrow-row gathers are ~5x slower on TPU
@@ -134,7 +140,7 @@ def intersect_wavefront(
 
         # ---- expand node pairs ------------------------------------------
         nrow = jnp.where(is_node, pc, 0)
-        dist = _slab8(o, rd, tb, bvh8.bounds[nrow])  # (P, 8)
+        dist = _slab8(o, rd, tb, get_bounds(nrow))  # (P, 8)
         kids = bvh8.child[nrow]
         valid = (dist < BVH_FAR) & (kids != EMPTY_SLOT) & is_node[:, None]
 
