@@ -1,0 +1,62 @@
+"""Packet traversal tests: tiles of coherent pinhole rays vs brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tinybvh_tpu.builders.binned import build_binned
+from tinybvh_tpu.core.intersect import brute_force_closest
+from tinybvh_tpu.core.rays import make_rays
+from tinybvh_tpu.io.loaders import random_tris, sphere_tris
+from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+from tinybvh_tpu.render.camera import auto_camera
+from tinybvh_tpu.traverse.packet import intersect_packets
+
+
+def _tiled_primary_rays(lo, hi, W=32, H=32):
+    """Primary rays reordered into 16x16 tiles (the packet layout)."""
+    eye, fwd, right, up = auto_camera(lo, hi)
+    xs = (np.arange(W) + 0.5) / W - 0.5
+    ys = (np.arange(H) + 0.5) / H - 0.5
+    gx, gy = np.meshgrid(xs, ys)
+    d = (fwd[None, None] + 0.9 * gx[..., None] * right[None, None]
+         + 0.9 * gy[..., None] * up[None, None])
+    d = d / np.linalg.norm(d, axis=2, keepdims=True)
+    # reorder scanlines into 16x16 tiles
+    d_t = d.reshape(H // 16, 16, W // 16, 16, 3).transpose(0, 2, 1, 3, 4)
+    d_flat = d_t.reshape(-1, 3).astype(np.float32)
+    o = np.broadcast_to(eye.astype(np.float32), d_flat.shape)
+    return make_rays(o, d_flat)
+
+
+def test_packets_match_brute_force():
+    tris = sphere_tris(24, 48, radius=2.0, center=(0, 0, 0))
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    rays = _tiled_primary_rays(tris.min(axis=(0, 1)), tris.max(axis=(0, 1)))
+    hits, overflow = intersect_packets(bvh8, rays, max_leaves=512, chunk=32)
+    assert not np.asarray(overflow).any()
+    ref = brute_force_closest(rays, jnp.asarray(tris))
+    miss = np.asarray(ref.prim) < 0
+    np.testing.assert_array_equal(np.asarray(hits.prim) < 0, miss)
+    np.testing.assert_allclose(
+        np.asarray(hits.t)[~miss], np.asarray(ref.t)[~miss], rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_packets_random_scene():
+    tris = random_tris(3000, seed=77)
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    rays = _tiled_primary_rays(tris.min(axis=(0, 1)), tris.max(axis=(0, 1)))
+    hits, overflow = intersect_packets(bvh8, rays, max_leaves=512, chunk=32)
+    ref = brute_force_closest(rays, jnp.asarray(tris))
+    ov = np.asarray(overflow)
+    # only validate non-overflow tiles (others would retrace via wavefront)
+    keep = ~np.repeat(ov, 256)
+    miss = np.asarray(ref.prim) < 0
+    np.testing.assert_array_equal(
+        (np.asarray(hits.prim) < 0)[keep], miss[keep])
+    both = keep & ~miss
+    np.testing.assert_allclose(
+        np.asarray(hits.t)[both], np.asarray(ref.t)[both], rtol=1e-4,
+        atol=1e-5,
+    )

@@ -1,0 +1,276 @@
+"""Packet traversal: per-tile frustum culling + dense leaf testing.
+
+Counterpart of Intersect256Rays (tiny_bvh.h:3528-3696): the reference walks
+the BVH once per 256-ray packet, culling nodes against the packet's corner
+frustum and tracking the first/last active ray. The TPU formulation splits
+the same idea into two fully-dense phases:
+
+  1. frustum BFS — a (tile, node) frontier walks the BVH8 testing node
+     AABBs against each tile's 4 corner planes (one test per TILE, not per
+     ray), collecting up to K leaf rows per tile (scatter-min writes);
+  2. dense leaf resolve — every ray tests its tile's K leaves with a
+     chunked (T, 256, k, 4) Möller–Trumbore; no per-ray gathers at all —
+     the compute is pure VPU tensor math, the ideal TPU shape.
+
+Assumes packets of 256 coherent rays in 16×16 scan order sharing one
+origin (the reference makes the same assumption). Tiles whose leaf list
+overflows K report in the returned mask — retrace those with
+intersect_wavefront.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tinybvh_tpu.core.rays import Hits, Rays
+from tinybvh_tpu.core.vecmath import BVH_FAR
+from tinybvh_tpu.layouts.mbvh import BVH8, EMPTY_SLOT
+
+TILE = 256
+_I32MAX = jnp.int32(2**31 - 1)
+MAX_LEVELS = 32
+
+
+def _tile_planes(o, d):
+    """Per-tile frustum: 4 planes from the 16×16 corner directions.
+
+    o: (T, 3) shared origins; d: (T, 256, 3). Returns (T, 4, 3) inward
+    normals. ≙ the corner-plane construction at tiny_bvh.h:3545-3560.
+    """
+    tl = d[:, 0]
+    tr = d[:, 15]
+    bl = d[:, 240]
+    br = d[:, 255]
+    n_top = jnp.cross(tr, tl)
+    n_bottom = jnp.cross(bl, br)
+    n_left = jnp.cross(tl, bl)
+    n_right = jnp.cross(br, tr)
+    n = jnp.stack([n_top, n_bottom, n_left, n_right], axis=1)
+    # orient all normals inward (toward the mean direction)
+    mean = d.mean(axis=1)
+    flip = jnp.sum(n * mean[:, None, :], axis=-1) < 0
+    return jnp.where(flip[:, :, None], -n, n)
+
+
+def _aabb_outside(planes, o, lo, hi):
+    """(P, 4, 3) planes, (P, 3) origins, boxes (P, 8, 3)+(P, 8, 3) →
+    (P, 8) True where the box is fully outside any plane."""
+    # farthest corner along each normal
+    n = planes[:, None, :, :]  # (P, 1, 4, 3)
+    corner = jnp.where(n > 0, hi[:, :, None, :], lo[:, :, None, :])
+    dist = jnp.sum(n * (corner - o[:, None, None, :]), axis=-1)  # (P, 8, 4)
+    return (dist < 0).any(axis=-1)
+
+
+@partial(jax.jit, static_argnames=("max_leaves", "pair_cap_factor"))
+def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
+                        pair_cap_factor: int = 64):
+    """Phase 1: per-tile frustum BFS → (T, K) leaf rows (-pad I32MAX),
+    plus an overflow mask."""
+    T = tile_o.shape[0]
+    planes = _tile_planes(tile_o, tile_d)
+    C = max(T * pair_cap_factor, 8192)
+    slot = jnp.arange(C, dtype=jnp.int32)
+
+    state = dict(
+        p_tile=jnp.where(slot < T, slot, T - 1),
+        p_node=jnp.zeros(C, jnp.int32),
+        n_pairs=jnp.asarray(T, jnp.int32),
+        leaves=jnp.full((T * max_leaves,), _I32MAX, jnp.int32),
+        n_leaves=jnp.zeros(T, jnp.int32),
+        overflow=jnp.zeros(T, bool),
+        level=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return (s["n_pairs"] > 0) & (s["level"] < MAX_LEVELS)
+
+    def body(s):
+        pt, pn = s["p_tile"], s["p_node"]
+        active = slot < s["n_pairs"]
+        nrow = jnp.where(active, pn, 0)
+        b = bvh8.bounds[nrow].reshape(-1, 6, 8)
+        lo = jnp.transpose(b[:, :3], (0, 2, 1))  # (C, 8, 3)
+        hi = jnp.transpose(b[:, 3:], (0, 2, 1))
+        kids = bvh8.child[nrow]
+        culled = _aabb_outside(planes[pt], tile_o[pt], lo, hi)
+        valid = active[:, None] & ~culled & (kids != EMPTY_SLOT)
+        is_node_child = valid & (kids >= 0)
+        is_leaf_child = valid & (kids < 0)
+
+        # append leaf children to per-tile lists (unique-target scatter-min)
+        lrank = jnp.cumsum(is_leaf_child, axis=1) - is_leaf_child
+        # per-tile offset: pairs are tile-sorted, so per-tile leaf rank =
+        # global leaf rank − first global rank of that tile
+        flat_leaf = is_leaf_child.reshape(-1)
+        grank = (jnp.cumsum(flat_leaf) - flat_leaf).reshape(-1, 8)
+        pair_first = jnp.min(
+            jnp.where(is_leaf_child, grank, _I32MAX), axis=1
+        )
+        tile_first = jnp.full(T, _I32MAX, jnp.int32).at[pt].min(pair_first)
+        in_tile_rank = grank - tile_first[pt][:, None]
+        pos = s["n_leaves"][pt][:, None] + in_tile_rank
+        ok = is_leaf_child & (pos < max_leaves) & (pos >= 0)
+        flat_idx = jnp.where(
+            ok, pt[:, None] * max_leaves + pos, T * max_leaves - 1
+        )
+        leaf_row = jnp.where(ok, -kids - 1, _I32MAX)
+        leaves = s["leaves"].at[flat_idx.reshape(-1)].min(leaf_row.reshape(-1))
+        add = jnp.zeros(T, jnp.int32).at[pt].add(
+            is_leaf_child.sum(axis=1).astype(jnp.int32)
+        )
+        n_leaves = s["n_leaves"] + add
+        overflow = s["overflow"] | (n_leaves > max_leaves)
+
+        # compact node children into the next frontier (order-preserving)
+        counts = is_node_child.sum(axis=1).astype(jnp.int32)
+        offs = jnp.cumsum(counts) - counts
+        want = offs[-1] + counts[-1]
+        total = jnp.minimum(want, C)
+        # pair-frontier truncation loses nodes for ALL later tiles: flag
+        # every tile so callers retrace (raise pair_cap_factor to avoid)
+        overflow = overflow | (want > C)
+        head = jnp.full(C, -1, jnp.int32)
+        head_pos = jnp.where(counts > 0, jnp.minimum(offs, C - 1), C - 1)
+        head = head.at[head_pos].max(jnp.where(counts > 0, slot, -1))
+        src = jnp.maximum(lax.associative_scan(jnp.maximum, head), 0)
+        lane_rank = slot - offs[src]
+        nrank = jnp.cumsum(is_node_child, axis=1) - is_node_child
+        lanes8 = jnp.arange(8, dtype=jnp.int32)
+        lookup = jnp.zeros((C, 8), jnp.int32)
+        for k in range(8):
+            lookup = jnp.where(
+                (nrank[:, k][:, None] == lanes8[None, :])
+                & is_node_child[:, k][:, None], k, lookup)
+        lane = jnp.take_along_axis(lookup[src], (lane_rank[:, None]) % 8,
+                                   axis=1)[:, 0]
+        in_range = slot < total
+        np_tile = jnp.where(in_range, pt[src], T - 1)
+        np_node = jnp.where(in_range,
+                            kids.reshape(-1)[src * 8 + lane], 0)
+        return dict(
+            p_tile=np_tile, p_node=np_node, n_pairs=total,
+            leaves=leaves, n_leaves=n_leaves, overflow=overflow,
+            level=s["level"] + 1,
+        )
+
+    s = lax.while_loop(cond, body, state)
+    return s["leaves"].reshape(T, max_leaves), s["overflow"]
+
+
+@partial(jax.jit, static_argnames=("max_leaves", "chunk", "use_pallas",
+                                   "interpret"))
+def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
+                      chunk: int = 16, use_pallas: bool = False,
+                      interpret: bool = False):
+    """Full packet trace. Rays must be (T·256,) in 16×16 tile scan order
+    with a shared origin per tile. Returns (Hits, overflow_tile_mask).
+
+    use_pallas: run phase 2 as the VMEM-resident Pallas kernel
+    (traverse/pallas_leaf.py) instead of the XLA chunked loop; interpret
+    runs that kernel in interpreter mode (for CPU tests)."""
+    R = rays.o.shape[0]
+    T = R // TILE
+    o = rays.o.reshape(T, TILE, 3)
+    d = rays.d.reshape(T, TILE, 3)
+    tile_o = o[:, 0]
+
+    leaves, overflow = collect_tile_leaves(bvh8, tile_o, d, max_leaves)
+
+    # phase 2: dense chunked leaf resolve — no per-ray gathers
+    lt = bvh8.leaf_tris  # (L, 4, 3, 3)
+    lp = bvh8.leaf_prim
+    K = max_leaves
+
+    if use_pallas:
+        from tinybvh_tpu.traverse.pallas_leaf import (
+            leaf_resolve, pack_leaf_geom,
+        )
+
+        packed_geom = pack_leaf_geom(bvh8)
+        rows_t = jnp.clip(leaves, 0, lt.shape[0] - 1)
+        geom_t = packed_geom[rows_t]  # (T, K, 48) row gather
+        live_t = (leaves != _I32MAX).astype(jnp.int32)
+        o_t = jnp.transpose(o, (0, 2, 1))  # (T, 3, 256)
+        d_t = jnp.transpose(d, (0, 2, 1))
+        best_t, best_pk = leaf_resolve(o_t, d_t, geom_t, live_t, rows_t,
+                                       interpret=interpret)
+        return _finish(bvh8, rays, best_t, best_pk, overflow, R, T)
+
+    def step(carry, kchunk):
+        best_t, best_pk = carry
+        rows = jnp.clip(kchunk, 0, lt.shape[0] - 1)  # (T, chunk)
+        live = kchunk != _I32MAX
+        tri = lt[rows]  # (T, chunk, 4, 3, 3)
+        v0 = tri[:, :, :, 0]
+        e1 = tri[:, :, :, 1] - v0
+        e2 = tri[:, :, :, 2] - v0
+        # (T, 256, chunk, 4) Möller–Trumbore
+        dd = d[:, :, None, None, :]
+        oo = o[:, :, None, None, :]
+        h = jnp.cross(dd, e2[:, None])
+        det = jnp.sum(e1[:, None] * h, axis=-1)
+        okd = jnp.abs(det) > 1e-9
+        inv = 1.0 / jnp.where(okd, det, 1.0)
+        sv = oo - v0[:, None]
+        u = jnp.sum(sv * h, axis=-1) * inv
+        q = jnp.cross(sv, e1[:, None])
+        v = jnp.sum(dd * q, axis=-1) * inv
+        tt = jnp.sum(e2[:, None] * q, axis=-1) * inv
+        hit = (okd & (u >= 0) & (v >= 0) & (u + v <= 1)
+               & (tt > 0) & live[:, None, :, None])
+        tt = jnp.where(hit, tt, BVH_FAR)
+        # reduce over (chunk, 4)
+        flat = tt.reshape(T, TILE, -1)
+        am = jnp.argmin(flat, axis=-1)
+        m = jnp.min(flat, axis=-1)
+        # packed (leaf_row, lane)
+        ch_i = am // 4
+        lane = am % 4
+        rowsel = jnp.take_along_axis(rows, ch_i.reshape(T, -1), axis=1
+                                     ).reshape(T, TILE)
+        pk = rowsel * 4 + lane
+        better = m < best_t
+        return (jnp.where(better, m, best_t),
+                jnp.where(better, pk, best_pk)), None
+
+    n_chunks = K // chunk
+    kchunks = leaves.reshape(T, n_chunks, chunk).transpose(1, 0, 2)
+    (best_t, best_pk), _ = lax.scan(
+        step,
+        (jnp.full((T, TILE), BVH_FAR), jnp.zeros((T, TILE), jnp.int32)),
+        kchunks,
+    )
+    return _finish(bvh8, rays, best_t, best_pk, overflow, R, T)
+
+
+def _finish(bvh8, rays, best_t, best_pk, overflow, R, T):
+    lt = bvh8.leaf_tris
+    lp = bvh8.leaf_prim
+    ok = best_t < BVH_FAR
+    wl = jnp.where(ok, best_pk >> 2, 0)
+    wk = jnp.where(ok, best_pk & 3, 0)
+    prim = jnp.where(ok, lp[wl, wk], -1).reshape(-1)
+    # recover u/v by re-intersecting the winning triangle
+    from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
+
+    v0t, e1t, e2t = tri_edges(lt)
+    _, _, uu, vv = moller_trumbore(
+        rays.o, rays.d, v0t[wl.reshape(-1), wk.reshape(-1)],
+        e1t[wl.reshape(-1), wk.reshape(-1)],
+        e2t[wl.reshape(-1), wk.reshape(-1)],
+        jnp.full(R, BVH_FAR),
+    )
+    okf = ok.reshape(-1)
+    hits = Hits(
+        t=jnp.where(okf, best_t.reshape(-1), BVH_FAR),
+        u=jnp.where(okf, uu, 0.0),
+        v=jnp.where(okf, vv, 0.0),
+        prim=prim,
+        inst=jnp.full(R, -1, jnp.int32),
+    )
+    return hits, overflow
