@@ -89,3 +89,24 @@ def test_api_uses_bvh8_by_default():
         make_rays([[5.0, 5.0, -5.0]], [[0.0, 0.0, 1.0]]), jnp.asarray(tris)
     )
     assert h["prim"] == int(ref.prim[0])
+
+
+def test_bvh4_width_collapse(rng):
+    """width=4 collapse (≙ MBVH<4>/BVH4_CPU) traverses identically."""
+    tris = random_tris(800, seed=91)
+    bvh2 = build_binned(tris, max_leaf=4)
+    bvh4 = collapse_bvh2(bvh2, tris, width=4)
+    child = np.asarray(bvh4.child)
+    from tinybvh_tpu.layouts.mbvh import EMPTY_SLOT
+
+    # at most 4 live slots per node
+    assert (child != EMPTY_SLOT).sum(axis=1).max() <= 4
+    rays = _rays(rng, 256)
+    hits = intersect_bvh8(bvh4, rays)
+    ref = brute_force_closest(rays, jnp.asarray(tris))
+    miss = np.asarray(ref.prim) < 0
+    np.testing.assert_array_equal(np.asarray(hits.prim) < 0, miss)
+    np.testing.assert_allclose(
+        np.asarray(hits.t)[~miss], np.asarray(ref.t)[~miss], rtol=1e-4,
+        atol=1e-5,
+    )

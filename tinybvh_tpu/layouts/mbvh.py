@@ -50,13 +50,18 @@ class BVH8:
 
 
 def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4) -> BVH8:
-    """Collapse a BVH2 into the 8-wide layout (host-side).
+    """Collapse a BVH2 into the wide layout (host-side).
 
-    Mirrors MBVH<8>::ConvertFrom (tiny_bvh.h:4975-5048): greedily adopt the
+    Mirrors MBVH<M>::ConvertFrom (tiny_bvh.h:4975-5048): greedily adopt the
     grandchildren of the child with the largest surface area until the node
     has `width` children or only leaves remain. BVH2 leaves must have
     count <= leaf_width (build with max_leaf=leaf_width).
+
+    width < 8 (e.g. 4 ≙ MBVH<4>/BVH4_CPU, tiny_bvh.h:1291) limits the
+    branching factor but keeps the physical 8-slot row format so every
+    traversal engine works unchanged (the unused slots stay EMPTY_SLOT).
     """
+    assert 2 <= width <= 8
     mn = np.asarray(bvh.node_min)
     mx = np.asarray(bvh.node_max)
     lf = np.asarray(bvh.left_first)
@@ -90,9 +95,9 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4) -> BVH8:
 
     # breadth-first emission; work items are (bvh2_node, my_row)
     if ct[0] > 0:  # root is a leaf: single node with one leaf child
-        row_b = np.full((6, width), BVH_FAR, np.float32)
+        row_b = np.full((6, 8), BVH_FAR, np.float32)
         row_b[3:] = -BVH_FAR
-        row_c = np.full(width, EMPTY_SLOT, np.int64)
+        row_c = np.full(8, EMPTY_SLOT, np.int64)
         row_b[:3, 0] = mn[0]
         row_b[3:, 0] = mx[0]
         row_c[0] = -(add_leaf(0) + 1)
@@ -117,9 +122,9 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4) -> BVH8:
                     break
                 c = kids.pop(best)
                 kids.extend((lf[c], lf[c] + 1))
-            row_b = np.full((6, width), BVH_FAR, np.float32)
+            row_b = np.full((6, 8), BVH_FAR, np.float32)
             row_b[3:] = -BVH_FAR
-            row_c = np.full(width, EMPTY_SLOT, np.int64)
+            row_c = np.full(8, EMPTY_SLOT, np.int64)
             for k, c in enumerate(kids):
                 row_b[:3, k] = mn[c]
                 row_b[3:, k] = mx[c]
