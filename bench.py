@@ -31,6 +31,9 @@ def main():
 
     n_tris = tris.shape[0]
 
+    # initialize the device first so build timing excludes TPU cold start
+    jax.block_until_ready(jax.numpy.zeros(8) + 1)
+
     t0 = time.perf_counter()
     bvh = BVH(tris)  # binned SAH + 8-wide collapse (the fast layout)
     jax.block_until_ready(bvh.bvh2.node_min)
@@ -56,27 +59,41 @@ def main():
         fwd[None, None]
         + 0.9 * gx[..., None] * right[None, None]
         + 0.9 * gy[..., None] * up[None, None]
-    ).reshape(-1, 3).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    )
+    d = d / np.linalg.norm(d, axis=2, keepdims=True)
+    # tile-order (16x16 packets) for the packet tracer
+    d = d.reshape(H // 16, 16, W // 16, 16, 3).transpose(0, 2, 1, 3, 4)
+    d = d.reshape(-1, 3).astype(np.float32)
     o = np.broadcast_to(eye.astype(np.float32), d.shape)
     rays = make_rays(o, d)
     n_rays = d.shape[0]
 
-    # primary rays (wavefront traversal): warm-up compile, then timed passes
+    # primary rays: packet tracer (headline), wavefront as comparison
+    from tinybvh_tpu.traverse.packet import intersect_packets
     from tinybvh_tpu.traverse.wavefront import (
         intersect_wavefront, is_occluded_wavefront,
     )
 
-    hits, _ = intersect_wavefront(bvh.bvh8, rays, cap_factor=2)
+    use_pallas = jax.default_backend() != "cpu"
+    hits, _ = intersect_packets(bvh.bvh8, rays, max_leaves=256,
+                                use_pallas=use_pallas)
     jax.block_until_ready(hits.t)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        hits, _ = intersect_wavefront(bvh.bvh8, rays, cap_factor=2)
+        hits, _ = intersect_packets(bvh.bvh8, rays, max_leaves=256,
+                                    use_pallas=use_pallas)
         np.asarray(hits.t)
         times.append(time.perf_counter() - t0)
     primary_mrays = n_rays / min(times) / 1e6
     hit_rate = float(np.mean(np.asarray(hits.prim) >= 0))
+
+    hw, _ = intersect_wavefront(bvh.bvh8, rays, cap_factor=2)
+    np.asarray(hw.t)
+    t0 = time.perf_counter()
+    hw, _ = intersect_wavefront(bvh.bvh8, rays, cap_factor=2)
+    np.asarray(hw.t)
+    wavefront_mrays = n_rays / (time.perf_counter() - t0) / 1e6
 
     # shadow rays from hit points toward a fixed light
     ht = np.asarray(hits.t)
@@ -109,6 +126,7 @@ def main():
             "sah_cost": round(sah, 2),
             "hit_rate": round(hit_rate, 4),
             "shadow_mrays": round(shadow_mrays, 3),
+            "wavefront_mrays": round(wavefront_mrays, 3),
             "device": str(jax.devices()[0]),
         },
     }
