@@ -76,13 +76,13 @@ def main():
 
     use_pallas = jax.default_backend() != "cpu"
     hits, _ = intersect_packets(bvh.bvh8, rays, max_leaves=256,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, pair_cap_factor=16)
     jax.block_until_ready(hits.t)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         hits, _ = intersect_packets(bvh.bvh8, rays, max_leaves=256,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas, pair_cap_factor=16)
         np.asarray(hits.t)
         times.append(time.perf_counter() - t0)
     primary_mrays = n_rays / min(times) / 1e6

@@ -163,10 +163,10 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "chunk", "use_pallas",
-                                   "interpret"))
+                                   "interpret", "pair_cap_factor"))
 def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
                       chunk: int = 16, use_pallas: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, pair_cap_factor: int = 32):
     """Full packet trace. Rays must be (T·256,) in 16×16 tile scan order
     with a shared origin per tile. Returns (Hits, overflow_tile_mask).
 
@@ -179,7 +179,8 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
     d = rays.d.reshape(T, TILE, 3)
     tile_o = o[:, 0]
 
-    leaves, overflow = collect_tile_leaves(bvh8, tile_o, d, max_leaves)
+    leaves, overflow = collect_tile_leaves(
+        bvh8, tile_o, d, max_leaves, pair_cap_factor)
 
     # phase 2: dense chunked leaf resolve — no per-ray gathers
     lt = bvh8.leaf_tris  # (L, 4, 3, 3)
@@ -188,17 +189,26 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
 
     if use_pallas:
         from tinybvh_tpu.traverse.pallas_leaf import (
-            leaf_resolve, pack_leaf_geom,
+            leaf_resolve_v2, pack_tri_geom,
         )
 
-        packed_geom = pack_leaf_geom(bvh8)
+        tri_geom = pack_tri_geom(bvh8)  # (4L, 12)
         rows_t = jnp.clip(leaves, 0, lt.shape[0] - 1)
-        geom_t = packed_geom[rows_t]  # (T, K, 48) row gather
-        live_t = (leaves != _I32MAX).astype(jnp.int32)
+        live_t = leaves != _I32MAX
+        lanes4 = jnp.arange(4, dtype=jnp.int32)
+        tri_idx = rows_t[:, :, None] * 4 + lanes4[None, None, :]
+        geom_t = jnp.where(
+            live_t[:, :, None, None], tri_geom[tri_idx], 0.0
+        ).reshape(T, -1, 12)  # (T, K·4, 12); dead rows zeroed → never hit
         o_t = jnp.transpose(o, (0, 2, 1))  # (T, 3, 256)
         d_t = jnp.transpose(d, (0, 2, 1))
-        best_t, best_pk = leaf_resolve(o_t, d_t, geom_t, live_t, rows_t,
-                                       interpret=interpret)
+        best_t, best_li = leaf_resolve_v2(o_t, d_t, geom_t,
+                                          interpret=interpret)
+        # resolve tri list position → leaf row + lane outside the kernel
+        li = best_li >> 2
+        lane = best_li & 3
+        row = jnp.take_along_axis(rows_t, li, axis=1)
+        best_pk = row * 4 + lane
         return _finish(bvh8, rays, best_t, best_pk, overflow, R, T)
 
     def step(carry, kchunk):

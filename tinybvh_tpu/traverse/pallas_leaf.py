@@ -89,6 +89,109 @@ def _kernel(o_ref, d_ref, geom_ref, live_ref, rows_ref, t_ref, pk_ref):
     pk_ref[0, 0, :] = bp
 
 
+def _kernel_v2(o_ref, d_ref, geom_ref, t_ref, idx_ref):
+    """Leaf-blocked variant: 32 triangles (8 leaves) per fori iteration as
+    one (32, 256) Möller–Trumbore. Geometry arrives as per-TRIANGLE rows
+    (4L, 12) = [v0|e1|e2|pad], so field extraction is pure slicing (Mosaic
+    cannot reshape across sublanes/lanes). Dead entries carry zeroed
+    geometry (det = 0 → never hit); the winner is reported as tri position
+    in the tile's list (caller resolves to leaf row + lane)."""
+    K4 = geom_ref.shape[1]  # = K·4 triangles
+
+    ox = o_ref[0, 0, :]
+    oy = o_ref[0, 1, :]
+    oz = o_ref[0, 2, :]
+    dx = d_ref[0, 0, :]
+    dy = d_ref[0, 1, :]
+    dz = d_ref[0, 2, :]
+
+    def blk(j, carry):
+        best_t, best_i = carry
+        g = geom_ref[0, pl.ds(j * 32, 32), :]  # (32, 12)
+        v0x = g[:, 0:1]
+        v0y = g[:, 1:2]
+        v0z = g[:, 2:3]
+        e1x = g[:, 3:4]
+        e1y = g[:, 4:5]
+        e1z = g[:, 5:6]
+        e2x = g[:, 6:7]
+        e2y = g[:, 7:8]
+        e2z = g[:, 8:9]
+        hx = dy[None, :] * e2z - dz[None, :] * e2y
+        hy = dz[None, :] * e2x - dx[None, :] * e2z
+        hz = dx[None, :] * e2y - dy[None, :] * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        okd = jnp.abs(det) > 1e-9
+        inv = 1.0 / jnp.where(okd, det, 1.0)
+        sx = ox[None, :] - v0x
+        sy = oy[None, :] - v0y
+        sz = oz[None, :] - v0z
+        u = (sx * hx + sy * hy + sz * hz) * inv
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = (dx[None, :] * qx + dy[None, :] * qy + dz[None, :] * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = okd & (u >= 0) & (v >= 0) & (u + v <= 1) & (tt > 0)
+        tt = jnp.where(hit, tt, BVH_FAR)  # (32, 256)
+        am = jnp.argmin(tt, axis=0)  # (256,)
+        m = jnp.min(tt, axis=0)
+        better = m < best_t
+        pk = j * 32 + am.astype(jnp.int32)  # global tri position in list
+        return (jnp.where(better, m, best_t),
+                jnp.where(better, pk, best_i))
+
+    t0 = jnp.full((TILE,), BVH_FAR, jnp.float32)
+    p0 = jnp.zeros((TILE,), jnp.int32)
+    bt, bp = jax.lax.fori_loop(0, K4 // 32, blk, (t0, p0))
+    t_ref[0, 0, :] = bt
+    idx_ref[0, 0, :] = bp
+
+
+def pack_tri_geom(bvh8) -> jnp.ndarray:
+    """(4L, 12) per-triangle kernel rows: [v0 | e1 | e2 | pad]."""
+    lt = bvh8.leaf_tris  # (L, 4, 3, 3)
+    v0 = lt[:, :, 0]
+    e1 = lt[:, :, 1] - v0
+    e2 = lt[:, :, 2] - v0
+    g = jnp.concatenate(
+        [v0, e1, e2, jnp.zeros_like(v0)], axis=-1
+    )  # (L, 4, 12)
+    return g.reshape(-1, 12)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def leaf_resolve_v2(o_t, d_t, geom, interpret: bool = False):
+    """o_t, d_t: (T, 3, 256); geom: (T, K·4, 12) with dead rows zeroed →
+    (t (T, 256), tri list position (T, 256))."""
+    T, K4 = geom.shape[:2]
+    assert K4 % 32 == 0
+    t_out, pk_out = pl.pallas_call(
+        _kernel_v2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K4, 12), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(o_t, d_t, geom)
+    return t_out.reshape(T, TILE), pk_out.reshape(T, TILE)
+
+
 def pack_leaf_geom(bvh8) -> jnp.ndarray:
     """(L, 48) kernel-layout leaf geometry: [v0x·4|v0y·4|v0z·4|e1…|e2…|pad]."""
     lt = bvh8.leaf_tris  # (L, 4, 3, 3)
