@@ -134,3 +134,42 @@ def test_tlas_occlusion(rng):
     r = make_rays(o, d)
     assert bool(tlas.is_occluded(r, t_max=10.0)[0])
     assert not bool(tlas.is_occluded(r, t_max=1.0)[0])  # sphere starts at x=-1
+
+
+def test_tlas_wavefront_matches_lockstep(rng):
+    """The wavefront two-level traversal must agree with the lockstep one."""
+    from tinybvh_tpu.tlas.instance import (
+        intersect_tlas8, intersect_tlas_wavefront,
+    )
+
+    trisA = random_tris(300, seed=61)
+    trisB = sphere_tris(8, 12, radius=1.2)
+    a, b = BVH(trisA), BVH(trisB)
+    pairs = [(0, _mat((0, 0, 0))), (1, _mat((12, 0, 0))),
+             (1, _mat((0, 12, 0), scale=2.0))]
+    tlas = TLAS([a, b], pairs)
+    rays = _rays(rng, 512, -3, 16)
+    h_ref = intersect_tlas8(tlas._impl, rays)
+    h_wf, ovf = intersect_tlas_wavefront(tlas._impl, rays)
+    assert not bool(ovf)
+    miss = np.asarray(h_ref.prim) < 0
+    np.testing.assert_array_equal(np.asarray(h_wf.prim) < 0, miss)
+    np.testing.assert_allclose(
+        np.asarray(h_wf.t)[~miss], np.asarray(h_ref.t)[~miss], rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(np.asarray(h_wf.inst), np.asarray(h_ref.inst))
+
+
+def test_tlas_wavefront_masks():
+    from tinybvh_tpu.tlas.instance import intersect_tlas_wavefront
+
+    tris = sphere_tris(8, 12)
+    blas = BVH(tris)
+    mats = np.stack([_mat((0, 0, 0)), _mat((0, 0, 0))])
+    tlas = TLAS([blas], mats, masks=[0x0001, 0x0002])
+    o = np.zeros((4, 3), np.float32)
+    d = np.tile(np.array([[1, 0, 0]], np.float32), (4, 1))
+    r2 = make_rays(o, d, mask=np.full(4, 0x0002, np.int32))
+    h2, _ = intersect_tlas_wavefront(tlas._impl, r2)
+    assert (np.asarray(h2.inst) == 1).all()

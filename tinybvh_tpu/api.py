@@ -164,8 +164,18 @@ class TLAS:
         self.blases = blases
 
     def intersect(self, rays: Rays, t_max=BVH_FAR):
-        from tinybvh_tpu.tlas.instance import intersect_tlas8
+        from tinybvh_tpu.tlas.instance import (
+            intersect_tlas8, intersect_tlas_wavefront,
+        )
 
+        # fast path: wavefront; grow the frontier on overflow, fall back to
+        # the lockstep traversal if even that isn't enough
+        for cap in (4, 12):
+            hits, overflow = intersect_tlas_wavefront(
+                self._impl, rays, t_max, cap_factor=cap
+            )
+            if not bool(np.asarray(overflow)):
+                return hits
         return intersect_tlas8(self._impl, rays, t_max)
 
     def is_occluded(self, rays: Rays, t_max):

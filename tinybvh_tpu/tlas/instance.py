@@ -370,3 +370,181 @@ def is_occluded_tlas8(tlas: TLAS8, rays: Rays, t_max):
     planned optimization)."""
     h = intersect_tlas8(tlas, rays, t_max)
     return h.prim >= 0
+
+
+@partial(jax.jit, static_argnames=("cap_factor", "any_hit"))
+def intersect_tlas_wavefront(
+    tlas: TLAS8, rays: Rays, t_max=BVH_FAR, cap_factor: int = 3,
+    any_hit: bool = False,
+):
+    """Two-level wavefront traversal over the merged TLAS8 table.
+
+    The level-synchronous frontier of traverse/wavefront.py, extended with
+    a per-pair FRAME (instance id; sentinel = world): pair rays are
+    transformed by their frame's inverse at gather time, instance child
+    entries spawn BLAS-root pairs in the instance frame (after the
+    visibility-mask test, ≙ tiny_bvh.h:3326), and winners carry their frame
+    so Hits.inst is exact. Distances stay comparable across frames because
+    directions are not renormalized (tiny_bvh.h:3329-3333).
+    """
+    from tinybvh_tpu.layouts.mbvh import EMPTY_SLOT as _ES
+    from tinybvh_tpu.core.vecmath import safe_rcp
+
+    MAX_LEVELS = 64
+    _I32MAX = jnp.int32(2**31 - 1)
+    o_all, d_all = rays.o, rays.d
+    R = o_all.shape[0]
+    P = cap_factor * R
+    L = tlas.n_leaf_rows
+    n_inst = tlas.inst_inv.shape[0]
+    eye4 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (1, 4, 4))
+    inv_all = jnp.concatenate([tlas.inst_inv, eye4], axis=0)
+    WORLD = jnp.int32(n_inst)  # frame sentinel: identity transform
+
+    v0t, e1t, e2t = tri_edges(tlas.leaf_tris)
+    leaf_geom = jnp.concatenate(
+        [v0t.reshape(-1, 12), e1t.reshape(-1, 12), e2t.reshape(-1, 12),
+         jnp.zeros((v0t.shape[0], 12), jnp.float32)], axis=1)
+    ray_data = jnp.concatenate(
+        [o_all, d_all, jnp.zeros((R, 2), jnp.float32)], axis=1)  # (R, 8)
+
+    def t_key(t):
+        return lax.bitcast_convert_type(t, jnp.int32)
+
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    tkey0 = t_key(t0)
+
+    slot = jnp.arange(P, dtype=jnp.int32)
+    state = dict(
+        pr=jnp.where(slot < R, slot, R - 1),
+        pc=jnp.zeros(P, jnp.int32),
+        pf=jnp.full(P, WORLD, jnp.int32),
+        pt=jnp.where(slot < R, 0.0, BVH_FAR),
+        n_pairs=jnp.asarray(R, jnp.int32),
+        tkey=tkey0,
+        win=jnp.full(R, _I32MAX, jnp.int32),
+        win_inst=jnp.full(R, _I32MAX, jnp.int32),
+        overflow=jnp.zeros((), bool),
+        level=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return (s["n_pairs"] > 0) & (s["level"] < MAX_LEVELS)
+
+    def body(s):
+        pr, pc, pf, pt = s["pr"], s["pc"], s["pf"], s["pt"]
+        tkey = s["tkey"]
+        t_best = lax.bitcast_convert_type(tkey, jnp.float32)
+        active = (slot < s["n_pairs"]) & (pt < t_best[pr])
+        if any_hit:
+            active = active & ~(tkey < tkey0)[pr]
+        is_node = active & (pc >= 0)
+        code = jnp.where(active & (pc < 0), -pc - 1, 0)
+        is_leaf = active & (pc < 0) & (code < L)
+
+        rdat = ray_data[pr]
+        inv = inv_all[pf]  # (P, 4, 4)
+        o = jnp.einsum("pij,pj->pi", inv[:, :3, :3], rdat[:, 0:3]) + inv[:, :3, 3]
+        d = jnp.einsum("pij,pj->pi", inv[:, :3, :3], rdat[:, 3:6])
+        rd = safe_rcp(d)
+        tb = t_best[pr]
+
+        nrow = jnp.where(is_node, pc, 0)
+        dist = _slab8(o, rd, tb, tlas.bounds[nrow])
+        kids = tlas.child[nrow]
+        valid = (dist < BVH_FAR) & (kids != _ES) & is_node[:, None]
+
+        # classify children
+        kcode = jnp.where(kids < 0, -kids - 1, 0)
+        k_is_inst = valid & (kids < 0) & (kcode >= L) & (kids != _ES)
+        iid = jnp.clip(kcode - L, 0, n_inst - 1)
+        mask_ok = (tlas.inst_mask[iid] & rays.mask[pr][:, None]) != 0
+        k_is_inst = k_is_inst & mask_ok
+        k_keep = (valid & ~((kids < 0) & (kcode >= L))) | k_is_inst
+        # per-lane next-pair payload
+        lane_code = jnp.where(k_is_inst, tlas.inst_root[iid], kids)
+        lane_frame = jnp.where(k_is_inst, iid, pf[:, None])
+
+        # ---- leaf fold ----------------------------------------------------
+        lrow = jnp.where(is_leaf, code, 0)
+        geom = leaf_geom[lrow]
+        gv0 = geom[:, 0:12].reshape(-1, 4, 3)
+        ge1 = geom[:, 12:24].reshape(-1, 4, 3)
+        ge2 = geom[:, 24:36].reshape(-1, 4, 3)
+        hit, th, _, _ = moller_trumbore(
+            o[:, None, :], d[:, None, :], gv0, ge1, ge2, tb[:, None])
+        th = jnp.where(hit & is_leaf[:, None], th, BVH_FAR)
+        lbest = jnp.argmin(th, axis=1)
+        cand_t = jnp.min(th, axis=1)
+        has_cand = cand_t < BVH_FAR
+        ckey = jnp.where(has_cand, t_key(cand_t), _I32MAX)
+        ray_ix = jnp.where(has_cand, pr, 0)
+        new_tkey = tkey.at[ray_ix].min(ckey)
+        is_winner = has_cand & (ckey == new_tkey[pr])
+        packed = jnp.where(is_winner, lrow * 4 + lbest.astype(jnp.int32),
+                           _I32MAX)
+        improved = new_tkey < tkey
+        win = jnp.where(improved, _I32MAX, s["win"])
+        win = win.at[ray_ix].min(packed)
+        # winner's frame: second fold keyed on the final packed value
+        final_winner = is_winner & (packed == win[pr])
+        wi = jnp.where(improved, _I32MAX, s["win_inst"])
+        wi = wi.at[ray_ix].min(jnp.where(final_winner, pf, _I32MAX))
+
+        # ---- compact next frontier ---------------------------------------
+        t_best2 = lax.bitcast_convert_type(new_tkey, jnp.float32)
+        k_keep = k_keep & (dist < t_best2[pr][:, None])
+        counts = k_keep.sum(axis=1).astype(jnp.int32)
+        offs = jnp.cumsum(counts) - counts
+        want = offs[-1] + counts[-1]
+        total = jnp.minimum(want, P)
+        head = jnp.full(P, -1, jnp.int32)
+        head_pos = jnp.where(counts > 0, jnp.minimum(offs, P - 1), P - 1)
+        head = head.at[head_pos].max(jnp.where(counts > 0, slot, -1))
+        src = jnp.maximum(lax.associative_scan(jnp.maximum, head), 0)
+        lane_rank = slot - offs[src]
+        rank = jnp.cumsum(k_keep, axis=1) - k_keep
+        lanes8 = jnp.arange(8, dtype=jnp.int32)
+        lookup = jnp.zeros((P, 8), jnp.int32)
+        for k in range(8):
+            lookup = jnp.where(
+                (rank[:, k][:, None] == lanes8[None, :])
+                & k_keep[:, k][:, None], k, lookup)
+        lane = jnp.take_along_axis(lookup[src], (lane_rank[:, None]) % 8,
+                                   axis=1)[:, 0]
+        flat = src * 8 + lane
+        in_range = slot < total
+        np_pr = jnp.where(in_range, pr[src], R - 1)
+        np_pc = jnp.where(in_range, lane_code.reshape(-1)[flat], 0)
+        np_pf = jnp.where(in_range, lane_frame.reshape(-1)[flat], WORLD)
+        np_pt = jnp.where(in_range, dist.reshape(-1)[flat], BVH_FAR)
+        return dict(
+            pr=np_pr, pc=np_pc, pf=np_pf, pt=np_pt, n_pairs=total,
+            tkey=new_tkey, win=win, win_inst=wi,
+            overflow=s["overflow"] | (want > P), level=s["level"] + 1,
+        )
+
+    s = lax.while_loop(cond, body, state)
+    win = s["win"]
+    ok = win != _I32MAX
+    wl = jnp.where(ok, win >> 2, 0)
+    wk = jnp.where(ok, win & 3, 0)
+    prim = jnp.where(ok, tlas.leaf_prim[wl, wk], -1)
+    inst = jnp.where(ok & (s["win_inst"] < n_inst), s["win_inst"], -1)
+    # u/v recovery: re-intersect the winning tri with the frame-local ray
+    inv_w = inv_all[jnp.where(ok, jnp.minimum(s["win_inst"], n_inst), n_inst)]
+    o2 = jnp.einsum("rij,rj->ri", inv_w[:, :3, :3], o_all) + inv_w[:, :3, 3]
+    d2 = jnp.einsum("rij,rj->ri", inv_w[:, :3, :3], d_all)
+    _, _, uu, vv = moller_trumbore(
+        o2, d2, v0t[wl, wk], e1t[wl, wk], e2t[wl, wk],
+        jnp.full(R, BVH_FAR, jnp.float32))
+    t_fin = lax.bitcast_convert_type(s["tkey"], jnp.float32)
+    hits = Hits(
+        t=jnp.where(ok, t_fin, BVH_FAR),
+        u=jnp.where(ok, uu, 0.0),
+        v=jnp.where(ok, vv, 0.0),
+        prim=prim, inst=inst,
+    )
+    if any_hit:
+        return hits, s["tkey"] < tkey0, s["overflow"]
+    return hits, s["overflow"]

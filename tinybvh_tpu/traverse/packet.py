@@ -94,10 +94,22 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
         active = slot < s["n_pairs"]
         nrow = jnp.where(active, pn, 0)
         b = bvh8.bounds[nrow].reshape(-1, 6, 8)
-        lo = jnp.transpose(b[:, :3], (0, 2, 1))  # (C, 8, 3)
-        hi = jnp.transpose(b[:, 3:], (0, 2, 1))
         kids = bvh8.child[nrow]
-        culled = _aabb_outside(planes[pt], tile_o[pt], lo, hi)
+        # transpose-free frustum test: per plane, farthest-corner distance
+        # computed componentwise on (C, 8) tiles
+        pl_t = planes[pt]           # (C, 4, 3)
+        o_t = tile_o[pt]            # (C, 3)
+        ndoto = jnp.einsum("cpk,ck->cp", pl_t, o_t)  # (C, 4)
+        outside = jnp.zeros((b.shape[0], 8), bool)
+        for p in range(4):
+            n = pl_t[:, p]  # (C, 3)
+            dist = -ndoto[:, p][:, None]
+            for k in range(3):
+                nk = n[:, k][:, None]
+                corner = jnp.where(nk > 0, b[:, 3 + k], b[:, k])
+                dist = dist + nk * corner
+            outside = outside | (dist < 0)
+        culled = outside
         valid = active[:, None] & ~culled & (kids != EMPTY_SLOT)
         is_node_child = valid & (kids >= 0)
         is_leaf_child = valid & (kids < 0)
