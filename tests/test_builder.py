@@ -135,3 +135,26 @@ def test_native_builder_traversal(rng):
         np.asarray(hits.t)[~miss], np.asarray(ref.t)[~miss], rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_full_sweep_builder(rng):
+    from tinybvh_tpu.builders.sweep import build_sweep
+    from tinybvh_tpu.core.intersect import brute_force_closest
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.traverse.stack import intersect_bvh2
+
+    tris = random_tris(600, seed=60)
+    bvh = build_sweep(tris, max_leaf=4)
+    validate_host(bvh, tris)
+    # exact SAH must be at least as good as 8-bin SAH
+    assert float(sah_cost(bvh)) <= float(sah_cost(build_binned(tris, max_leaf=4))) * 1.02
+    packed = pack_tris(bvh, tris)
+    lm = int(np.asarray(bvh.count).max())
+    o = rng.uniform(-2, 12, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    hits = intersect_bvh2(bvh, packed, rays, leaf_max=lm)
+    ref = brute_force_closest(rays, jnp.asarray(tris))
+    miss = np.asarray(ref.prim) < 0
+    np.testing.assert_array_equal(np.asarray(hits.prim) < 0, miss)

@@ -372,10 +372,10 @@ def is_occluded_tlas8(tlas: TLAS8, rays: Rays, t_max):
     return h.prim >= 0
 
 
-@partial(jax.jit, static_argnames=("cap_factor", "any_hit"))
+@partial(jax.jit, static_argnames=("cap_factor", "any_hit", "return_winner"))
 def intersect_tlas_wavefront(
     tlas: TLAS8, rays: Rays, t_max=BVH_FAR, cap_factor: int = 3,
-    any_hit: bool = False,
+    any_hit: bool = False, return_winner: bool = False,
 ):
     """Two-level wavefront traversal over the merged TLAS8 table.
 
@@ -547,4 +547,7 @@ def intersect_tlas_wavefront(
     )
     if any_hit:
         return hits, s["tkey"] < tkey0, s["overflow"]
+    if return_winner:
+        # winner leaf row + lane (for shading-normal lookup)
+        return hits, jnp.where(ok, win, -1), s["overflow"]
     return hits, s["overflow"]
