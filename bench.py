@@ -38,7 +38,17 @@ def main():
     bvh = BVH(tris)  # binned SAH + 8-wide collapse (the fast layout)
     jax.block_until_ready(bvh.bvh2.node_min)
     build_s = time.perf_counter() - t0
-    sah = bvh.sah_cost()
+
+    # SAH on host (the device version costs an eager-op compile here)
+    mn = np.asarray(bvh.bvh2.node_min)
+    mx = np.asarray(bvh.bvh2.node_max)
+    ct = np.asarray(bvh.bvh2.count)
+    used = np.arange(mn.shape[0]) < int(bvh.bvh2.n_nodes)
+    used[1] = False
+    e = np.maximum(mx - mn, 0)
+    area = e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
+    cost = np.where(ct > 0, ct * area, area)
+    sah = float(cost[used].sum() / max(area[0], 1e-30))
 
     # camera: look at scene center from outside along a diagonal
     lo, hi = bvh.aabb

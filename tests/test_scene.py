@@ -132,3 +132,23 @@ def test_skinning_two_joints():
     h1 = s.intersect(r1)
     np.testing.assert_allclose(float(h0.t[0]), 5.0, atol=1e-4)
     np.testing.assert_allclose(float(h1.t[0]), 10.0, atol=1e-4)
+
+
+def test_add_quad_and_skydome():
+    from tinybvh_tpu.scene.graph import Scene, SkyDome
+
+    s = Scene()
+    mid = s.add_quad([1.0, 0.0, 1.0], 2.0, normal_axis=1)
+    s.add_instance(mid)
+    s.update(0.0)
+    r = make_rays([[1.0, 5.0, 1.0]], [[0.0, -1.0, 0.0]])
+    h = s.intersect(r)
+    np.testing.assert_allclose(float(h.t[0]), 5.0, rtol=1e-5)
+
+    img = np.zeros((4, 8, 3), np.float32)
+    img[0] = [1, 0, 0]   # zenith red
+    img[-1] = [0, 0, 1]  # nadir blue
+    sky = SkyDome(img)
+    up = sky.sample([0.0, 1.0, 0.0])
+    dn = sky.sample([0.0, -1.0, 0.0])
+    assert up[0] == 1.0 and dn[2] == 1.0

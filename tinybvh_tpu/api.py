@@ -63,7 +63,10 @@ class BVH:
         else:
             raise ValueError(f"unknown builder {builder!r}")
         self.leaf_max = int(np.asarray(self.bvh2.count).max())
-        self.packed_tris = pack_tris(self.bvh2, tris)
+        # pack host-side: an eager device gather costs a full kernel compile
+        # (~40 s through this environment's TPU tunnel)
+        self.packed_tris = jnp.asarray(
+            np.asarray(tris)[np.asarray(self.bvh2.prim_idx)])
         self._refit_plan = None
         self.layout = layout
         self.bvh8 = None

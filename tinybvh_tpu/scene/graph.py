@@ -127,6 +127,24 @@ class Light:
     cos_outer: float = 0.7
 
 
+class SkyDome:
+    """HDR equirectangular sky (≙ tiny_scene.h:354-365, 1024-1079)."""
+
+    def __init__(self, data):
+        self.data = np.asarray(data, np.float32)  # (H, W, 3) linear
+
+    def sample(self, d):
+        """Sample by direction(s) (..., 3) → (..., 3) radiance."""
+        d = np.asarray(d, np.float32)
+        d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
+        u = (np.arctan2(d[..., 2], d[..., 0]) / (2 * np.pi)) % 1.0
+        v = np.arccos(np.clip(d[..., 1], -1, 1)) / np.pi
+        h, w = self.data.shape[:2]
+        x = np.clip((u * w).astype(int), 0, w - 1)
+        y = np.clip((v * h).astype(int), 0, h - 1)
+        return self.data[y, x]
+
+
 class Scene:
     """Registry + per-frame orchestrator (≙ the static Scene,
     tiny_scene.h:773-842 — but instantiable, no global state)."""
@@ -177,6 +195,24 @@ class Scene:
     def add_light(self, light: Light) -> int:
         self.lights.append(light)
         return len(self.lights) - 1
+
+    def add_quad(self, center, size, normal_axis=1, material=0,
+                 policy=None) -> int:
+        """Axis-aligned quad mesh helper (≙ Scene::AddQuad,
+        tiny_scene.h:3400ish): two triangles, returns the mesh id."""
+        c = np.asarray(center, np.float32)
+        h = size / 2.0
+        axes = [a for a in range(3) if a != normal_axis]
+        e0 = np.zeros(3, np.float32)
+        e1 = np.zeros(3, np.float32)
+        e0[axes[0]] = h
+        e1[axes[1]] = h
+        corners = [c - e0 - e1, c + e0 - e1, c + e0 + e1, c - e0 + e1]
+        tris = np.stack([[corners[0], corners[1], corners[2]],
+                         [corners[0], corners[2], corners[3]]])
+        m = Mesh(tris=tris.astype(np.float32),
+                 mat_id=np.full(2, material, np.int32))
+        return self.add_mesh(m, policy=policy)
 
     @classmethod
     def from_gltf(cls, path: str) -> "Scene":
