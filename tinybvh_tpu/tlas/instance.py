@@ -510,8 +510,7 @@ def intersect_tlas_wavefront(
             lookup = jnp.where(
                 (rank[:, k][:, None] == lanes8[None, :])
                 & k_keep[:, k][:, None], k, lookup)
-        lane = jnp.take_along_axis(lookup[src], (lane_rank[:, None]) % 8,
-                                   axis=1)[:, 0]
+        lane = lookup.reshape(-1)[src * 8 + (lane_rank % 8)]
         flat = src * 8 + lane
         in_range = slot < total
         np_pr = jnp.where(in_range, pr[src], R - 1)

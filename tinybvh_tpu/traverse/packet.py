@@ -95,21 +95,18 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
         nrow = jnp.where(active, pn, 0)
         b = bvh8.bounds[nrow].reshape(-1, 6, 8)
         kids = bvh8.child[nrow]
-        # transpose-free frustum test: per plane, farthest-corner distance
-        # computed componentwise on (C, 8) tiles
+        # transpose-free frustum test, all 4 planes at once: per component,
+        # select the farthest corner and accumulate n·(corner − o) on
+        # (C, 4, 8) tiles — few large ops beat many small ones here (the
+        # per-op dispatch tax dominates at this frontier size)
         pl_t = planes[pt]           # (C, 4, 3)
         o_t = tile_o[pt]            # (C, 3)
-        ndoto = jnp.einsum("cpk,ck->cp", pl_t, o_t)  # (C, 4)
-        outside = jnp.zeros((b.shape[0], 8), bool)
-        for p in range(4):
-            n = pl_t[:, p]  # (C, 3)
-            dist = -ndoto[:, p][:, None]
-            for k in range(3):
-                nk = n[:, k][:, None]
-                corner = jnp.where(nk > 0, b[:, 3 + k], b[:, k])
-                dist = dist + nk * corner
-            outside = outside | (dist < 0)
-        culled = outside
+        dist = -jnp.einsum("cpk,ck->cp", pl_t, o_t)[:, :, None]  # (C, 4, 1)
+        for k in range(3):
+            nk = pl_t[:, :, k][:, :, None]              # (C, 4, 1)
+            corner = jnp.where(nk > 0, b[:, None, 3 + k], b[:, None, k])
+            dist = dist + nk * corner                    # (C, 4, 8)
+        culled = (dist < 0).any(axis=1)
         valid = active[:, None] & ~culled & (kids != EMPTY_SLOT)
         is_node_child = valid & (kids >= 0)
         is_leaf_child = valid & (kids < 0)
@@ -158,8 +155,7 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
             lookup = jnp.where(
                 (nrank[:, k][:, None] == lanes8[None, :])
                 & is_node_child[:, k][:, None], k, lookup)
-        lane = jnp.take_along_axis(lookup[src], (lane_rank[:, None]) % 8,
-                                   axis=1)[:, 0]
+        lane = lookup.reshape(-1)[src * 8 + (lane_rank % 8)]
         in_range = slot < total
         np_tile = jnp.where(in_range, pt[src], T - 1)
         np_node = jnp.where(in_range,
@@ -175,10 +171,12 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "chunk", "use_pallas",
-                                   "interpret", "pair_cap_factor"))
+                                   "interpret", "pair_cap_factor",
+                                   "phase1_pallas"))
 def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
                       chunk: int = 16, use_pallas: bool = False,
-                      interpret: bool = False, pair_cap_factor: int = 32):
+                      interpret: bool = False, pair_cap_factor: int = 32,
+                      phase1_pallas: bool = False):
     """Full packet trace. Rays must be (T·256,) in 16×16 tile scan order
     with a shared origin per tile. Returns (Hits, overflow_tile_mask).
 
@@ -191,8 +189,23 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
     d = rays.d.reshape(T, TILE, 3)
     tile_o = o[:, 0]
 
-    leaves, overflow = collect_tile_leaves(
-        bvh8, tile_o, d, max_leaves, pair_cap_factor)
+    if phase1_pallas:
+        # phase 1 as ONE Pallas op (experimental: the serial per-tile walk
+        # currently loses to the XLA frontier — see pallas_frustum.py)
+        from tinybvh_tpu.traverse.pallas_frustum import (
+            collect_tile_leaves_pallas,
+        )
+
+        planes = _tile_planes(tile_o, d)
+        ndoto = jnp.einsum("tpk,tk->tp", planes, tile_o).reshape(T, 1, 4)
+        leaves, counts = collect_tile_leaves_pallas(
+            bvh8.bounds.reshape(-1, 6, 8), bvh8.child, planes, ndoto,
+            max_leaves, interpret=interpret,
+        )
+        overflow = counts < 0
+    else:
+        leaves, overflow = collect_tile_leaves(
+            bvh8, tile_o, d, max_leaves, pair_cap_factor)
 
     # phase 2: dense chunked leaf resolve — no per-ray gathers
     lt = bvh8.leaf_tris  # (L, 4, 3, 3)
@@ -217,9 +230,12 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
         best_t, best_li = leaf_resolve_v2(o_t, d_t, geom_t,
                                           interpret=interpret)
         # resolve tri list position → leaf row + lane outside the kernel
+        # (flat 1D gather: minor-dim take_along_axis is pathologically slow)
         li = best_li >> 2
         lane = best_li & 3
-        row = jnp.take_along_axis(rows_t, li, axis=1)
+        K = rows_t.shape[1]
+        trow = jnp.arange(T, dtype=jnp.int32)[:, None]
+        row = rows_t.reshape(-1)[trow * K + li]
         best_pk = row * 4 + lane
         return _finish(bvh8, rays, best_t, best_pk, overflow, R, T)
 
@@ -253,8 +269,9 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
         # packed (leaf_row, lane)
         ch_i = am // 4
         lane = am % 4
-        rowsel = jnp.take_along_axis(rows, ch_i.reshape(T, -1), axis=1
-                                     ).reshape(T, TILE)
+        trow = jnp.arange(T, dtype=jnp.int32)[:, None]
+        rowsel = rows.reshape(-1)[trow * rows.shape[1] + ch_i.reshape(T, -1)
+                                  ].reshape(T, TILE)
         pk = rowsel * 4 + lane
         better = m < best_t
         return (jnp.where(better, m, best_t),

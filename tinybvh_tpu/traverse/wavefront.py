@@ -193,9 +193,7 @@ def intersect_wavefront(
         rank = jnp.cumsum(valid, axis=1) - valid  # (P, 8)
         lane_lookup = _rank_to_lane(rank, valid)
 
-        lane = jnp.take_along_axis(
-            lane_lookup[src], (lane_rank[:, None]) % 8, axis=1
-        )[:, 0]
+        lane = lane_lookup.reshape(-1)[src * 8 + (lane_rank % 8)]
         flat_idx = src * 8 + lane
         in_range = slot < total
         np_ray = jnp.where(in_range, pr[src], R - 1)
