@@ -28,6 +28,15 @@ from tinybvh_tpu.layouts.mbvh import EMPTY_SLOT
 STACK = 64
 
 
+def _excl_prefix8(x, iota8):
+    """Exclusive prefix sum over 8 lanes (Mosaic has no cumsum):
+    Hillis-Steele with pltpu.roll + wraparound masking."""
+    p = x
+    for sh in (1, 2, 4):
+        p = p + jnp.where(iota8 >= sh, pltpu.roll(p, sh, axis=1), 0)
+    return p - x
+
+
 def _kernel(planes_ref, ndoto_ref, bounds_ref, child_ref,
             leaves_ref, count_ref, *, max_leaves):
     K = max_leaves
@@ -55,24 +64,31 @@ def _kernel(planes_ref, ndoto_ref, bounds_ref, child_ref,
                 dist = dist + n[p][k] * corner
             outside = outside | (dist < 0)
         valid = ~outside & (kids != EMPTY_SLOT)
-        # scalar extraction needs 32-bit types on Mosaic
-        leafc_i = (valid & (kids < 0)).astype(jnp.int32)
-        nodec_i = (valid & (kids >= 0)).astype(jnp.int32)
+        leafc = (valid & (kids < 0)).astype(jnp.int32)   # (1, 8)
+        nodec = (valid & (kids >= 0)).astype(jnp.int32)
 
-        # append leaf children (one-hot select per lane, unrolled)
-        for k in range(8):
-            app = leafc_i[0, k]
-            row = -kids[0, k] - 1
-            lst = jnp.where((iota_k == cnt) & (app > 0), row, lst)
-            cnt = cnt + app
-        # push node children
-        for k in range(8):
-            app = nodec_i[0, k]
-            stack = jnp.where((iota_s == sp) & (app > 0), kids[0, k], stack)
-            sp = sp + app
-            ovf = ovf | (sp >= STACK)
-            sp = jnp.minimum(sp, STACK - 1)
-        ovf = ovf | (cnt > K)
+        # vectorized one-hot scatter: lane k lands at base + exclusive rank
+        # (8, STACK)/(8, K) compare-select tiles instead of unrolled scalar
+        # extraction (vector→sreg moves dominate otherwise)
+        iota8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        lrank = _excl_prefix8(leafc, iota8)              # (1, 8)
+        nrank = _excl_prefix8(nodec, iota8)
+        ltgt = (cnt + lrank)[0][:, None]                 # (8, 1)
+        ntgt = (sp + nrank)[0][:, None]
+        lrow = (-kids - 1)[0][:, None]                   # (8, 1)
+        krow = kids[0][:, None]
+        lmask = (iota_k == ltgt) & (leafc[0][:, None] > 0)   # (8, K)
+        nmask = (iota_s == ntgt) & (nodec[0][:, None] > 0)   # (8, STACK)
+        lst = jnp.where(
+            jnp.any(lmask, axis=0, keepdims=True),
+            jnp.sum(jnp.where(lmask, lrow, 0), axis=0, keepdims=True), lst)
+        stack = jnp.where(
+            jnp.any(nmask, axis=0, keepdims=True),
+            jnp.sum(jnp.where(nmask, krow, 0), axis=0, keepdims=True), stack)
+        cnt = cnt + jnp.sum(leafc)
+        sp = sp + jnp.sum(nodec)
+        ovf = ovf | (sp >= STACK) | (cnt > K)
+        sp = jnp.minimum(sp, STACK - 1)
         return sp, cnt, ovf, stack, lst
 
     def cond(state):
