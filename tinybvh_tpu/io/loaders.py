@@ -53,3 +53,26 @@ def sphere_tris(n_lat: int = 16, n_lon: int = 32, radius: float = 1.0,
             if i < n_lat - 1:
                 tris.append([b, e, d])
     return np.asarray(tris, np.float32)
+
+
+def load_blue_noise(path: str = None) -> np.ndarray:
+    """Load the 128x128x8 blue-noise tile set the reference's GPU path
+    tracers sample (blue_noise_128x128x8_2d.raw, uploaded as uint32s at
+    tiny_bvh_gpu.cpp:63). Returns (8, 128, 128) float32 in [0, 1) from the
+    packed byte channels."""
+    path = path or "/root/reference/testdata/blue_noise_128x128x8_2d.raw"
+    raw = np.fromfile(path, dtype=np.uint32).reshape(8, 128, 128)
+    # packed channels; take the low informative byte
+    return (((raw >> 8) & 0xFF).astype(np.float32) + 0.5) / 256.0
+
+
+def blue_noise_jitter(bn: np.ndarray, width: int, height: int,
+                      sample: int) -> np.ndarray:
+    """(H, W, 2) subpixel jitter from tiled blue noise (layer pairs rotate
+    with the sample index) — drop-in for the `jitter` arg of
+    render.camera.primary_rays."""
+    l0 = bn[(2 * sample) % bn.shape[0]]
+    l1 = bn[(2 * sample + 1) % bn.shape[0]]
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    return np.stack([l0[ys % 128, xs % 128], l1[ys % 128, xs % 128]],
+                    axis=-1).astype(np.float32)
