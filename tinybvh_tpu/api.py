@@ -45,15 +45,19 @@ class BVH:
                 f"triangles must be (N, 3, 3) with N >= 1, got {tris.shape}"
             )
         self.tris = tris
+        self._host = None
         if builder == "sah":
             # prefer the native C builder (27x the numpy one); same
             # algorithm and SAH rules, numpy fallback without a compiler
             from tinybvh_tpu.native import build_binned_native
 
-            self.bvh2 = build_binned_native(np.asarray(tris), max_leaf=max_leaf or 0) \
-                if bins == 8 else None
-            if self.bvh2 is None:
+            got = build_binned_native(
+                np.asarray(tris), max_leaf=max_leaf or 0, return_host=True
+            ) if bins == 8 else None
+            if got is None:
                 self.bvh2 = build_binned(tris, bins=bins, max_leaf=max_leaf)
+            else:
+                self.bvh2, self._host = got
         elif builder == "median":
             self.bvh2 = build_binned(tris, strategy="median")
         elif builder == "lbvh":
@@ -62,11 +66,16 @@ class BVH:
             self.bvh2 = build_lbvh(tris)
         else:
             raise ValueError(f"unknown builder {builder!r}")
-        self.leaf_max = int(np.asarray(self.bvh2.count).max())
-        # pack host-side: an eager device gather costs a full kernel compile
-        # (~40 s through this environment's TPU tunnel)
-        self.packed_tris = jnp.asarray(
-            np.asarray(tris)[np.asarray(self.bvh2.prim_idx)])
+        # use host copies where available: D2H readbacks through this
+        # environment's tunnel cost minutes
+        if self._host is not None:
+            count_np = self._host["count"]
+            prim_np = self._host["prim_idx"]
+        else:
+            count_np = np.asarray(self.bvh2.count)
+            prim_np = np.asarray(self.bvh2.prim_idx)
+        self.leaf_max = int(count_np.max())
+        self.packed_tris = jnp.asarray(np.asarray(tris)[prim_np])
         self._refit_plan = None
         self.layout = layout
         self.bvh8 = None
@@ -130,9 +139,11 @@ class BVH:
 
     @property
     def aabb(self):
+        if self._host is not None:
+            return self._host["node_min"][0], self._host["node_max"][0]
         return (
-            np.asarray(self.bvh2.node_min[0]),
-            np.asarray(self.bvh2.node_max[0]),
+            np.asarray(self.bvh2.node_min)[0],
+            np.asarray(self.bvh2.node_max)[0],
         )
 
 

@@ -57,10 +57,13 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_binned_native(tris, max_leaf: int = 4):
+def build_binned_native(tris, max_leaf: int = 4, return_host: bool = False):
     """C binned-SAH build → BVH2 (same conventions as builders.binned).
 
-    Returns None if the native library is unavailable.
+    Returns None if the native library is unavailable. With return_host,
+    returns (BVH2, host_arrays_dict) — device→host readbacks cost minutes
+    through this environment's TPU tunnel, so callers should keep the host
+    copies for metadata (leaf_max, root AABB, …).
     """
     import jax.numpy as jnp
 
@@ -93,7 +96,9 @@ def build_binned_native(tris, max_leaf: int = 4):
     node_max[n_used:] = -1e30
     node_min[1] = 1e30
     node_max[1] = -1e30
-    return BVH2(
+    host = dict(node_min=node_min, node_max=node_max, left_first=left_first,
+                count=count, prim_idx=prim_idx, n_nodes=int(n_used))
+    out = BVH2(
         node_min=jnp.asarray(node_min),
         node_max=jnp.asarray(node_max),
         left_first=jnp.asarray(left_first),
@@ -101,3 +106,4 @@ def build_binned_native(tris, max_leaf: int = 4):
         prim_idx=jnp.asarray(prim_idx),
         n_nodes=jnp.asarray(int(n_used), jnp.int32),
     )
+    return (out, host) if return_host else out
