@@ -82,7 +82,7 @@ class BVH:
         if layout == "bvh8" and self.leaf_max <= 4:
             from tinybvh_tpu.layouts.mbvh import collapse_bvh2
 
-            self.bvh8 = collapse_bvh2(self.bvh2, tris)
+            self.bvh8 = collapse_bvh2(self.bvh2, tris, host=self._host)
 
     # -- queries ----------------------------------------------------------
     def intersect(self, rays: Rays, t_max=BVH_FAR):

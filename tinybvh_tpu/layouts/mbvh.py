@@ -49,7 +49,8 @@ class BVH8:
         return self.leaf_tris.shape[0]
 
 
-def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4) -> BVH8:
+def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
+                  host: dict | None = None) -> BVH8:
     """Collapse a BVH2 into the wide layout (host-side).
 
     Mirrors MBVH<M>::ConvertFrom (tiny_bvh.h:4975-5048): greedily adopt the
@@ -62,11 +63,18 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4) -> BVH8:
     traversal engine works unchanged (the unused slots stay EMPTY_SLOT).
     """
     assert 2 <= width <= 8
-    mn = np.asarray(bvh.node_min)
-    mx = np.asarray(bvh.node_max)
-    lf = np.asarray(bvh.left_first)
-    ct = np.asarray(bvh.count)
-    pidx = np.asarray(bvh.prim_idx)
+    if host is not None:
+        # device→host readbacks cost minutes through this environment's
+        # TPU tunnel; builders that kept host copies pass them in
+        mn, mx = host["node_min"], host["node_max"]
+        lf, ct = host["left_first"], host["count"]
+        pidx = host["prim_idx"]
+    else:
+        mn = np.asarray(bvh.node_min)
+        mx = np.asarray(bvh.node_max)
+        lf = np.asarray(bvh.left_first)
+        ct = np.asarray(bvh.count)
+        pidx = np.asarray(bvh.prim_idx)
     tris_np = np.asarray(tris, np.float32)
     assert int(ct.max()) <= leaf_width, (
         f"BVH2 leaves up to {int(ct.max())} prims; rebuild with "
