@@ -93,3 +93,64 @@ def test_double_precision_batch(rng):
     np.testing.assert_array_equal(res["prim"] < 0, miss)
     np.testing.assert_allclose(res["t"][~miss], np.asarray(ref.t)[~miss],
                                rtol=1e-4)
+
+
+# ---------------- double-precision TLAS (BLASInstanceEx) -------------------
+def _unit_quad64():
+    return np.array([
+        [[-0.5, 0, -0.5], [0.5, 0, -0.5], [0.5, 0, 0.5]],
+        [[-0.5, 0, -0.5], [0.5, 0, 0.5], [-0.5, 0, 0.5]],
+    ], np.float64)
+
+
+def test_tlas_double_instancing():
+    """Two translated instances of one BLAS at planetary offsets that f32
+    cannot represent — the double TLAS must resolve both exactly."""
+    from tinybvh_tpu.ops.f64 import BLASInstanceEx, BVHDouble, TLASDouble
+
+    blas = BVHDouble(_unit_quad64())
+    big = 1e9  # offset where f32 quantizes to ~64 m steps
+    t0 = np.eye(4)
+    t0[:3, 3] = [big, 0.0, 0.0]
+    t1 = np.eye(4)
+    t1[:3, 3] = [big, 10.0, 0.0]
+    tlas = TLASDouble([BLASInstanceEx(0, t0), BLASInstanceEx(0, t1)], [blas])
+
+    o = np.array([[big, 5.0, 0.0], [big, 5.0, 0.0]], np.float64)
+    d = np.array([[0, -1.0, 0], [0, 1.0, 0]], np.float64)
+    h = tlas.intersect(o, d)
+    np.testing.assert_allclose(h["t"], [5.0, 5.0], rtol=1e-12)
+    assert h["inst"].tolist() == [0, 1]
+    assert (h["prim"] >= 0).all()
+
+    # occlusion: down-ray blocked, horizontal ray free
+    occ = tlas.is_occluded(o, np.array([[0, -1, 0], [1, 0, 0]], np.float64))
+    assert occ.tolist() == [True, False]
+
+
+def test_tlas_double_mask_and_scale():
+    """Instance visibility masks (≙ inst.mask & ray.mask) and non-uniform
+    scale with un-normalized BLAS-space direction keeping world t."""
+    from tinybvh_tpu.ops.f64 import BLASInstanceEx, BVHDouble, TLASDouble
+
+    blas = BVHDouble(_unit_quad64())
+    t0 = np.diag([3.0, 1.0, 3.0, 1.0])  # scale quad to 3x3
+    i0 = BLASInstanceEx(0, t0, mask=0x1)
+    tlas = TLASDouble([i0], [blas])
+    o = np.array([[1.2, 4.0, 1.2]], np.float64)  # outside unit quad, inside scaled
+    d = np.array([[0, -1.0, 0]], np.float64)
+    h = tlas.intersect(o, d, mask=0x1)
+    np.testing.assert_allclose(h["t"], [4.0], rtol=1e-12)
+    # masked out -> miss
+    h2 = tlas.intersect(o, d, mask=0x2)
+    assert h2["prim"].tolist() == [-1]
+
+
+def test_bvh_double_is_occluded():
+    from tinybvh_tpu.ops.f64 import BVHDouble
+
+    blas = BVHDouble(_unit_quad64())
+    o = np.array([[0, 1.0, 0], [2.0, 1.0, 0]], np.float64)
+    d = np.array([[0, -1.0, 0], [0, -1.0, 0]], np.float64)
+    occ = blas.is_occluded(o, d)
+    assert occ.tolist() == [True, False]

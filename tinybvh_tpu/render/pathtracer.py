@@ -31,11 +31,16 @@ from tinybvh_tpu.core.vecmath import BVH_FAR, normalize
 from tinybvh_tpu.traverse.wide import intersect_bvh8, is_occluded_bvh8
 
 
-def make_scene_arrays(tris, albedo=None, emissive=None):
+def make_scene_arrays(tris, albedo=None, emissive=None, uvs=None,
+                      tex_id=None, textures=None, sky=None):
     """Build shading arrays: per-triangle albedo (N, 3) and emission (N, 3).
 
     Light triangles = any with emission > 0 (≙ tiny_scene's TriLight
-    extraction, tiny_scene.h:2145-2203).
+    extraction, tiny_scene.h:2145-2203). Optional texture mapping
+    (≙ raytracer.cl's material shading): `uvs` (N, 3, 2) per-vertex UVs,
+    `tex_id` (N,) int texture index per triangle (-1 = untextured),
+    `textures` a list of (H, W, 3) images packed into one atlas. Optional
+    `sky` (H, W, 3) equirect environment sampled on ray miss (≙ SkyDome).
     """
     n = tris.shape[0]
     if albedo is None:
@@ -50,12 +55,23 @@ def make_scene_arrays(tris, albedo=None, emissive=None):
     light_ids = np.nonzero(is_light)[0].astype(np.int32)
     if light_ids.size == 0:
         light_ids = np.array([0], np.int32)  # dummy; emission 0 → no effect
-    return dict(
+    scene = dict(
         tris=jnp.asarray(tris, jnp.float32),
         albedo=albedo,
         emissive=emissive,
         light_ids=jnp.asarray(light_ids),
     )
+    if textures is not None:
+        from tinybvh_tpu.render.textures import build_atlas
+
+        assert uvs is not None and tex_id is not None, (
+            "textured scenes need per-triangle uvs and tex_id")
+        scene["tex"] = build_atlas(textures)
+        scene["uvs"] = jnp.asarray(uvs, jnp.float32)
+        scene["tex_id"] = jnp.asarray(tex_id, jnp.int32)
+    if sky is not None:
+        scene["sky"] = jnp.asarray(sky, jnp.float32)
+    return scene
 
 
 def _tri_geom(tris, prim):
@@ -91,6 +107,15 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
         hits = intersect_bvh8(bvh8, cur)
         hit_ok = alive & (hits.prim >= 0)
 
+        # environment on miss (≙ raytracer.cl skydome lookup)
+        if "sky" in scene:
+            from tinybvh_tpu.render.textures import sample_sky
+
+            env = sample_sky(scene["sky"], d)
+            radiance = radiance + jnp.where(
+                (alive & ~(hits.prim >= 0))[:, None], throughput * env, 0.0
+            )
+
         prim = jnp.maximum(hits.prim, 0)
         v0, e1, e2, n, _ = _tri_geom(tris, prim)
         # face-forward normal
@@ -107,6 +132,15 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
         )
 
         mat_albedo = albedo[prim]
+        if "tex" in scene:
+            from tinybvh_tpu.render.textures import sample_atlas
+
+            tuv = scene["uvs"][prim]  # (R, 3, 2)
+            w0 = (1.0 - hits.u - hits.v)[:, None]
+            uv = (w0 * tuv[:, 0] + hits.u[:, None] * tuv[:, 1]
+                  + hits.v[:, None] * tuv[:, 2])
+            mat_albedo = mat_albedo * sample_atlas(
+                scene["tex"], scene["tex_id"][prim], uv)
 
         # --- next-event estimation (Connect, wavefront.cl:200-240) -------
         li = light_ids[jax.random.randint(k1, (R,), 0, n_lights)]
