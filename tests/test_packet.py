@@ -60,3 +60,48 @@ def test_packets_random_scene():
         np.asarray(hits.t)[both], np.asarray(ref.t)[both], rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_packets_pallas_interpret_matches_xla():
+    """The Pallas leaf-resolve path (interpret mode on CPU) must agree with
+    the XLA chunked path and brute force, for both kernel block widths."""
+    tris = sphere_tris(24, 48, radius=2.0, center=(0, 0, 0))
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    rays = _tiled_primary_rays(tris.min(axis=(0, 1)), tris.max(axis=(0, 1)))
+    ref, _ = intersect_packets(bvh8, rays, max_leaves=512, chunk=32)
+    got, overflow = intersect_packets(bvh8, rays, max_leaves=512,
+                                      use_pallas=True, interpret=True)
+    assert not np.asarray(overflow).any()
+    np.testing.assert_array_equal(np.asarray(got.prim) < 0,
+                                  np.asarray(ref.prim) < 0)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    bf = brute_force_closest(rays, jnp.asarray(tris))
+    np.testing.assert_allclose(
+        np.where(np.asarray(got.prim) >= 0, np.asarray(got.t), 0),
+        np.where(np.asarray(bf.prim) >= 0, np.asarray(bf.t), 0),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_phase1_flat_matches_classic():
+    """The flat-pair-buffer phase 1 must produce the same leaf sets per
+    tile as the in-loop per-tile list builder."""
+    from tinybvh_tpu.traverse.packet import (
+        collect_tile_leaves, collect_tile_leaves_flat,
+    )
+
+    tris = sphere_tris(24, 48, radius=2.0, center=(0, 0, 0))
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    rays = _tiled_primary_rays(tris.min(axis=(0, 1)), tris.max(axis=(0, 1)))
+    T = rays.o.shape[0] // 256
+    o = np.asarray(rays.o).reshape(T, 256, 3)
+    d = jnp.asarray(rays.d).reshape(T, 256, 3)
+    tile_o = jnp.asarray(o[:, 0])
+    la, ova = collect_tile_leaves(bvh8, tile_o, d, 512, 64)
+    lb, ovb = collect_tile_leaves_flat(bvh8, tile_o, d, 512, 64)
+    assert not np.asarray(ova).any() and not np.asarray(ovb).any()
+    la, lb = np.asarray(la), np.asarray(lb)
+    for t in range(T):
+        sa = set(la[t][la[t] != 2**31 - 1].tolist())
+        sb = set(lb[t][lb[t] != 2**31 - 1].tolist())
+        assert sa == sb, f"tile {t}: {sa ^ sb}"

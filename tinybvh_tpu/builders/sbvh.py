@@ -97,6 +97,7 @@ def build_sbvh(
     max_leaf: int | None = 4,
     slack: float = 0.5,
     overlap_threshold: float = 1e-4,
+    unsplitting: bool = True,
 ) -> BVH2:
     tris = np.asarray(tris, np.float32)
     N = tris.shape[0]
@@ -282,13 +283,41 @@ def build_sbvh(
                 fl = fmax[sel_idx, ax] <= plane
                 fr = fmin[sel_idx, ax] >= plane
                 straddle = ~(fl | fr)
+                unsplit = sel_idx[:0]
+                if unsplitting and straddle.any():
+                    # reference unsplitting (≙ tiny_bvh.h:2895-2926): a
+                    # straddler may be cheaper kept whole on one side
+                    # (growing that child's box, shrinking the other's
+                    # count) than split into two fragments. Vectorized
+                    # against the chosen split's boxes.
+                    sl = np.nonzero(straddle)[0]
+                    si = sel_idx[sl]
+                    blmin, blmax = s_lmin[s, ax, k], s_lmax[s, ax, k]
+                    brmin, brmax = s_rmin[s, ax, k], s_rmax[s, ax, k]
+                    a_l = _half_area(blmin, blmax)
+                    a_r = _half_area(brmin, brmax)
+                    n_l = float(s_nl[s, ax, k])
+                    n_r = float(s_nr[s, ax, k])
+                    gl = _half_area(np.minimum(blmin, fmin[si]),
+                                    np.maximum(blmax, fmax[si]))
+                    gr = _half_area(np.minimum(brmin, fmin[si]),
+                                    np.maximum(brmax, fmax[si]))
+                    c_split = a_l * n_l + a_r * n_r
+                    c_uleft = gl * n_l + a_r * (n_r - 1)
+                    c_uright = a_l * (n_l - 1) + gr * n_r
+                    ul = (c_uleft < c_split) & (c_uleft <= c_uright)
+                    ur = (c_uright < c_split) & ~ul
+                    fl[sl[ul]] = True
+                    fr[sl[ur]] = True
+                    straddle[sl[ul | ur]] = False
+                    unsplit = si[ul | ur]  # boxes must grow to full frags
                 st_idx = sel_idx[straddle]
                 room = CAP - n_frags
-                demoted = st_idx[:0]
+                demoted = unsplit
                 if st_idx.size > room:
                     # not enough slack: demote straddlers to nearest side
                     # (their full boxes must then grow the child AABBs)
-                    demoted = st_idx
+                    demoted = np.concatenate([demoted, st_idx])
                     mid = (fmin[st_idx, ax] + fmax[st_idx, ax]) * 0.5
                     fl[straddle] = mid < plane
                     fr[straddle] = ~(mid < plane)

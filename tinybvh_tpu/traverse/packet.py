@@ -95,17 +95,19 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
         nrow = jnp.where(active, pn, 0)
         b = bvh8.bounds[nrow].reshape(-1, 6, 8)
         kids = bvh8.child[nrow]
-        # transpose-free frustum test, all 4 planes at once: per component,
-        # select the farthest corner and accumulate n·(corner − o) on
-        # (C, 4, 8) tiles — few large ops beat many small ones here (the
-        # per-op dispatch tax dominates at this frontier size)
+        # transpose-free frustum test, all 4 planes at once. The farthest
+        # corner along n is hi where n>0 else lo, so
+        #   n·corner = relu(n)·hi + (-relu(-n))·lo
+        # which turns the per-component select loop into two batched
+        # einsums — fewer, larger ops win here (per-op dispatch tax
+        # dominates at this frontier size)
         pl_t = planes[pt]           # (C, 4, 3)
         o_t = tile_o[pt]            # (C, 3)
-        dist = -jnp.einsum("cpk,ck->cp", pl_t, o_t)[:, :, None]  # (C, 4, 1)
-        for k in range(3):
-            nk = pl_t[:, :, k][:, :, None]              # (C, 4, 1)
-            corner = jnp.where(nk > 0, b[:, None, 3 + k], b[:, None, k])
-            dist = dist + nk * corner                    # (C, 4, 8)
+        dist = (
+            jnp.einsum("cpk,ckn->cpn", jnp.maximum(pl_t, 0.0), b[:, 3:6])
+            + jnp.einsum("cpk,ckn->cpn", jnp.minimum(pl_t, 0.0), b[:, 0:3])
+            - jnp.einsum("cpk,ck->cp", pl_t, o_t)[:, :, None]
+        )  # (C, 4, 8)
         culled = (dist < 0).any(axis=1)
         valid = active[:, None] & ~culled & (kids != EMPTY_SLOT)
         is_node_child = valid & (kids >= 0)
@@ -150,11 +152,11 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
         lane_rank = slot - offs[src]
         nrank = jnp.cumsum(is_node_child, axis=1) - is_node_child
         lanes8 = jnp.arange(8, dtype=jnp.int32)
-        lookup = jnp.zeros((C, 8), jnp.int32)
-        for k in range(8):
-            lookup = jnp.where(
-                (nrank[:, k][:, None] == lanes8[None, :])
-                & is_node_child[:, k][:, None], k, lookup)
+        # lookup[c, r] = lane k with (nrank[c,k]==r & is_node_child[c,k]):
+        # one-hot reduction instead of an 8-step select chain (3 ops vs ~24)
+        onehot = (nrank[:, :, None] == lanes8[None, None, :]) \
+            & is_node_child[:, :, None]                       # (C, 8k, 8r)
+        lookup = jnp.sum(onehot * lanes8[:, None], axis=1, dtype=jnp.int32)
         lane = lookup.reshape(-1)[src * 8 + (lane_rank % 8)]
         in_range = slot < total
         np_tile = jnp.where(in_range, pt[src], T - 1)
@@ -170,13 +172,129 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
     return s["leaves"].reshape(T, max_leaves), s["overflow"]
 
 
+@partial(jax.jit, static_argnames=("max_leaves", "pair_cap_factor"))
+def collect_tile_leaves_flat(bvh8: BVH8, tile_o, tile_d,
+                             max_leaves: int = 128,
+                             pair_cap_factor: int = 64):
+    """Phase 1 variant: instead of maintaining per-tile leaf lists inside
+    the BFS loop (3 scatters + segmented ranking per level), append
+    (tile, leaf) pairs to ONE flat buffer with a running cursor (1 scatter
+    per level), then resolve per-tile lists with a single post-loop sort.
+
+    MEASURED SLOWER than collect_tile_leaves on the bunny bench (2.46 vs
+    3.41 MRays/s end-to-end): scatter cost scales with the SIZE of the
+    scattered operand, and the two per-level scatters into the (T*K,)
+    flat buffer cost more than the three small (T,)-target scatters they
+    replaced, plus the O(T*K) sort. Kept as a measured data point —
+    intersect_packets defaults to the classic path."""
+    T = tile_o.shape[0]
+    planes = _tile_planes(tile_o, tile_d)
+    C = max(T * pair_cap_factor, 8192)
+    P = T * max_leaves  # flat pair budget
+    slot = jnp.arange(C, dtype=jnp.int32)
+
+    state = dict(
+        p_tile=jnp.where(slot < T, slot, T - 1),
+        p_node=jnp.zeros(C, jnp.int32),
+        n_pairs=jnp.asarray(T, jnp.int32),
+        pr_tile=jnp.full(P, _I32MAX, jnp.int32),
+        pr_leaf=jnp.full(P, _I32MAX, jnp.int32),
+        cursor=jnp.zeros((), jnp.int32),
+        all_overflow=jnp.zeros((), bool),
+        level=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return (s["n_pairs"] > 0) & (s["level"] < MAX_LEVELS)
+
+    def body(s):
+        pt, pn = s["p_tile"], s["p_node"]
+        active = slot < s["n_pairs"]
+        nrow = jnp.where(active, pn, 0)
+        b = bvh8.bounds[nrow].reshape(-1, 6, 8)
+        kids = bvh8.child[nrow]
+        pl_t = planes[pt]
+        o_t = tile_o[pt]
+        dist = (
+            jnp.einsum("cpk,ckn->cpn", jnp.maximum(pl_t, 0.0), b[:, 3:6])
+            + jnp.einsum("cpk,ckn->cpn", jnp.minimum(pl_t, 0.0), b[:, 0:3])
+            - jnp.einsum("cpk,ck->cp", pl_t, o_t)[:, :, None]
+        )
+        culled = (dist < 0).any(axis=1)
+        valid = active[:, None] & ~culled & (kids != EMPTY_SLOT)
+        is_node_child = valid & (kids >= 0)
+        is_leaf_child = valid & (kids < 0)
+
+        # append leaf pairs to the flat buffer (single scatter)
+        flat_leaf = is_leaf_child.reshape(-1)
+        rank = jnp.cumsum(flat_leaf) - flat_leaf
+        pos = s["cursor"] + rank
+        ok = flat_leaf & (pos < P)
+        tgt = jnp.where(ok, pos, P - 1).astype(jnp.int32)
+        enc_t = jnp.where(ok, jnp.repeat(pt, 8), _I32MAX)
+        enc_l = jnp.where(ok, (-kids - 1).reshape(-1), _I32MAX)
+        pr_tile = s["pr_tile"].at[tgt].min(enc_t)
+        pr_leaf = s["pr_leaf"].at[tgt].min(enc_l)
+        n_added = flat_leaf.sum().astype(jnp.int32)
+        cursor = s["cursor"] + n_added
+        all_overflow = s["all_overflow"] | (cursor > P)
+
+        # compact node children into the next frontier (order-preserving)
+        counts = is_node_child.sum(axis=1).astype(jnp.int32)
+        offs = jnp.cumsum(counts) - counts
+        want = offs[-1] + counts[-1]
+        total = jnp.minimum(want, C)
+        all_overflow = all_overflow | (want > C)
+        head = jnp.full(C, -1, jnp.int32)
+        head_pos = jnp.where(counts > 0, jnp.minimum(offs, C - 1), C - 1)
+        head = head.at[head_pos].max(jnp.where(counts > 0, slot, -1))
+        src = jnp.maximum(lax.associative_scan(jnp.maximum, head), 0)
+        lane_rank = slot - offs[src]
+        nrank = jnp.cumsum(is_node_child, axis=1) - is_node_child
+        lanes8 = jnp.arange(8, dtype=jnp.int32)
+        onehot = (nrank[:, :, None] == lanes8[None, None, :]) \
+            & is_node_child[:, :, None]
+        lookup = jnp.sum(onehot * lanes8[:, None], axis=1, dtype=jnp.int32)
+        lane = lookup.reshape(-1)[src * 8 + (lane_rank % 8)]
+        in_range = slot < total
+        np_tile = jnp.where(in_range, pt[src], T - 1)
+        np_node = jnp.where(in_range,
+                            kids.reshape(-1)[src * 8 + lane], 0)
+        return dict(
+            p_tile=np_tile, p_node=np_node, n_pairs=total,
+            pr_tile=pr_tile, pr_leaf=pr_leaf, cursor=cursor,
+            all_overflow=all_overflow, level=s["level"] + 1,
+        )
+
+    s = lax.while_loop(cond, body, state)
+
+    # resolve per-tile lists: one stable sort by tile, then rank-in-tile
+    tile_s, leaf_s = lax.sort((s["pr_tile"], s["pr_leaf"]),
+                              num_keys=1, is_stable=True)
+    valid = tile_s != _I32MAX
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    tile_c = jnp.clip(tile_s, 0, T - 1)
+    first = jnp.full(T, _I32MAX, jnp.int32).at[tile_c].min(
+        jnp.where(valid, pidx, _I32MAX))
+    in_rank = pidx - first[tile_c]
+    ok = valid & (in_rank < max_leaves)
+    tgt = jnp.where(ok, tile_c * max_leaves + in_rank, T * max_leaves - 1)
+    leaves = jnp.full((T * max_leaves,), _I32MAX, jnp.int32).at[tgt].min(
+        jnp.where(ok, leaf_s, _I32MAX))
+    n_leaves = jnp.zeros(T, jnp.int32).at[tile_c].add(
+        valid.astype(jnp.int32))
+    overflow = (n_leaves > max_leaves) | s["all_overflow"]
+    return leaves.reshape(T, max_leaves), overflow
+
+
 @partial(jax.jit, static_argnames=("max_leaves", "chunk", "use_pallas",
                                    "interpret", "pair_cap_factor",
-                                   "phase1_pallas"))
+                                   "phase1_pallas", "phase1_flat"))
 def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
                       chunk: int = 16, use_pallas: bool = False,
                       interpret: bool = False, pair_cap_factor: int = 32,
-                      phase1_pallas: bool = False):
+                      phase1_pallas: bool = False,
+                      phase1_flat: bool = False):
     """Full packet trace. Rays must be (T·256,) in 16×16 tile scan order
     with a shared origin per tile. Returns (Hits, overflow_tile_mask).
 
@@ -203,6 +321,9 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
             max_leaves, interpret=interpret,
         )
         overflow = counts < 0
+    elif phase1_flat:
+        leaves, overflow = collect_tile_leaves_flat(
+            bvh8, tile_o, d, max_leaves, pair_cap_factor)
     else:
         leaves, overflow = collect_tile_leaves(
             bvh8, tile_o, d, max_leaves, pair_cap_factor)
@@ -217,6 +338,10 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
             leaf_resolve_v2, pack_tri_geom,
         )
 
+        # per-triangle 12-float row gather. (Measured: gathering (L, 48)
+        # leaf rows + "contiguous" reshape to (T, K·4, 12) is SLOWER here —
+        # with 128-lane physical padding that reshape is a real relayout
+        # of the padded array, costing more than the narrower gather saves.)
         tri_geom = pack_tri_geom(bvh8)  # (4L, 12)
         rows_t = jnp.clip(leaves, 0, lt.shape[0] - 1)
         live_t = leaves != _I32MAX

@@ -148,6 +148,73 @@ def _kernel_v2(o_ref, d_ref, geom_ref, t_ref, idx_ref):
     idx_ref[0, 0, :] = bp
 
 
+def _kernel_v3(o_ref, d_ref, geom_ref, t_ref, idx_ref):
+    """Wide-block variant of v2: B=256 triangles per fori iteration as one
+    (256, 256) Möller–Trumbore, and NO reductions inside the loop — each
+    (sublane, ray) slot keeps its own running (best t, best block), so the
+    loop is pure elementwise VPU math; one cross-sublane argmin at the end
+    resolves the winner. 8x fewer iterations and 2 fewer reductions per
+    iteration than v2.
+
+    MEASURED SLOWER than v2 on the bunny bench (2.78 vs 3.41 MRays/s
+    end-to-end): the (256, 256) f32 loop carries + two full-size
+    where-updates per iteration outweigh the saved reductions. Kept for
+    reference/retuning; leaf_resolve_v2 defaults to the v2 kernel."""
+    K4 = geom_ref.shape[1]
+    B = 256 if K4 % 256 == 0 else (128 if K4 % 128 == 0 else 32)
+
+    ox = o_ref[0, 0, :]
+    oy = o_ref[0, 1, :]
+    oz = o_ref[0, 2, :]
+    dx = d_ref[0, 0, :]
+    dy = d_ref[0, 1, :]
+    dz = d_ref[0, 2, :]
+
+    def blk(j, carry):
+        best_t, best_j = carry  # (B, 256) f32 / i32
+        g = geom_ref[0, pl.ds(j * B, B), :]  # (B, 12)
+        v0x = g[:, 0:1]
+        v0y = g[:, 1:2]
+        v0z = g[:, 2:3]
+        e1x = g[:, 3:4]
+        e1y = g[:, 4:5]
+        e1z = g[:, 5:6]
+        e2x = g[:, 6:7]
+        e2y = g[:, 7:8]
+        e2z = g[:, 8:9]
+        hx = dy[None, :] * e2z - dz[None, :] * e2y
+        hy = dz[None, :] * e2x - dx[None, :] * e2z
+        hz = dx[None, :] * e2y - dy[None, :] * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        okd = jnp.abs(det) > 1e-9
+        inv = 1.0 / jnp.where(okd, det, 1.0)
+        sx = ox[None, :] - v0x
+        sy = oy[None, :] - v0y
+        sz = oz[None, :] - v0z
+        u = (sx * hx + sy * hy + sz * hz) * inv
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = (dx[None, :] * qx + dy[None, :] * qy + dz[None, :] * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = okd & (u >= 0) & (v >= 0) & (u + v <= 1) & (tt > 0)
+        tt = jnp.where(hit, tt, BVH_FAR)  # (B, 256)
+        better = tt < best_t
+        return (jnp.where(better, tt, best_t),
+                jnp.where(better, j, best_j))
+
+    t0 = jnp.full((B, TILE), BVH_FAR, jnp.float32)
+    j0 = jnp.zeros((B, TILE), jnp.int32)
+    bt, bj = jax.lax.fori_loop(0, K4 // B, blk, (t0, j0))
+    am = jnp.argmin(bt, axis=0)  # (256,) winning sublane
+    m = jnp.min(bt, axis=0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (B, TILE), 0)
+    onehot = sub == am[None, :]
+    best_blk = jnp.sum(jnp.where(onehot, bj, 0), axis=0)
+    t_ref[0, 0, :] = m
+    idx_ref[0, 0, :] = best_blk * B + am.astype(jnp.int32)
+
+
 def pack_tri_geom(bvh8) -> jnp.ndarray:
     """(4L, 12) per-triangle kernel rows: [v0 | e1 | e2 | pad]."""
     lt = bvh8.leaf_tris  # (L, 4, 3, 3)
@@ -160,14 +227,16 @@ def pack_tri_geom(bvh8) -> jnp.ndarray:
     return g.reshape(-1, 12)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def leaf_resolve_v2(o_t, d_t, geom, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "wide"))
+def leaf_resolve_v2(o_t, d_t, geom, interpret: bool = False,
+                    wide: bool = False):
     """o_t, d_t: (T, 3, 256); geom: (T, K·4, 12) with dead rows zeroed →
-    (t (T, 256), tri list position (T, 256))."""
+    (t (T, 256), tri list position (T, 256)). wide=True selects the
+    256-tri-block kernel (v3); False the original 32-tri-block v2."""
     T, K4 = geom.shape[:2]
     assert K4 % 32 == 0
     t_out, pk_out = pl.pallas_call(
-        _kernel_v2,
+        _kernel_v3 if wide else _kernel_v2,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
