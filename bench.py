@@ -105,21 +105,39 @@ def main():
     np.asarray(hw.t)
     wavefront_mrays = n_rays / (time.perf_counter() - t0) / 1e6
 
-    # shadow rays from hit points toward a fixed light
+    # shadow rays from hit points toward a fixed point light. Traced as
+    # packets FROM the light (every image tile's endpoints form a coherent
+    # shared-origin bundle) — the wavefront number is kept for comparison.
+    from tinybvh_tpu.traverse.packet import is_occluded_packets
+
     ht = np.asarray(hits.t)
     ht = np.where(np.isfinite(ht) & (ht < 1e29), ht, 1.0)
-    p = np.asarray(rays.o) + ht[:, None] * np.asarray(rays.d)
-    light = center + np.array([0, 2.0, 0]) * extent
+    p = (np.asarray(rays.o) + ht[:, None] * np.asarray(rays.d)).astype(
+        np.float32)
+    light = (center + np.array([0, 2.0, 0]) * extent).astype(np.float32)
+    occ, _ = is_occluded_packets(bvh.bvh8, light, p, max_leaves=256,
+                                 use_pallas=use_pallas, pair_cap_factor=16)
+    np.asarray(occ)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        occ, _ = is_occluded_packets(bvh.bvh8, light, p, max_leaves=256,
+                                     use_pallas=use_pallas,
+                                     pair_cap_factor=16)
+        np.asarray(occ)
+        times.append(time.perf_counter() - t0)
+    shadow_mrays = n_rays / min(times) / 1e6
+
     sd = light[None, :] - p
     sn = np.linalg.norm(sd, axis=1, keepdims=True)
     srays = make_rays((p + sd / sn * 1e-3).astype(np.float32),
                       (sd / sn).astype(np.float32))
-    occ = is_occluded_wavefront(bvh.bvh8, srays, float(np.median(sn)))
-    np.asarray(occ)
+    occ_w = is_occluded_wavefront(bvh.bvh8, srays, float(np.median(sn)))
+    np.asarray(occ_w)
     t0 = time.perf_counter()
-    occ = is_occluded_wavefront(bvh.bvh8, srays, float(np.median(sn)))
-    np.asarray(occ)
-    shadow_mrays = n_rays / (time.perf_counter() - t0) / 1e6
+    occ_w = is_occluded_wavefront(bvh.bvh8, srays, float(np.median(sn)))
+    np.asarray(occ_w)
+    shadow_wavefront_mrays = n_rays / (time.perf_counter() - t0) / 1e6
 
     target = 500.0  # BASELINE.json north-star MRays/s per chip
     result = {
@@ -136,6 +154,7 @@ def main():
             "sah_cost": round(sah, 2),
             "hit_rate": round(hit_rate, 4),
             "shadow_mrays": round(shadow_mrays, 3),
+            "shadow_wavefront_mrays": round(shadow_wavefront_mrays, 3),
             "wavefront_mrays": round(wavefront_mrays, 3),
             "device": str(jax.devices()[0]),
         },

@@ -105,3 +105,30 @@ def test_phase1_flat_matches_classic():
         sa = set(la[t][la[t] != 2**31 - 1].tolist())
         sb = set(lb[t][lb[t] != 2**31 - 1].tolist())
         assert sa == sb, f"tile {t}: {sa ^ sb}"
+
+
+def test_is_occluded_packets_point_light():
+    """Shadow bundles from a point light through the packet tracer must
+    match per-segment brute force."""
+    from tinybvh_tpu.traverse.packet import is_occluded_packets
+
+    tris = sphere_tris(16, 32, radius=1.0, center=(0, 0, 0))
+    rays = _tiled_primary_rays(tris.min(axis=(0, 1)) - 2,
+                               tris.max(axis=(0, 1)) + 2)
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    # endpoints: a plane of points behind the sphere (some shadowed) at
+    # z=+3, in tile order
+    R = rays.o.shape[0]
+    g = np.linspace(-2.5, 2.5, 16)
+    px, py = np.meshgrid(g, g)
+    pts = np.stack([px, py, np.full_like(px, 3.0)], -1).reshape(-1, 3)
+    pts = np.tile(pts, (R // 256, 1)).astype(np.float32)
+    light = np.array([0.0, 0.0, -4.0], np.float32)
+
+    occ, overflow = is_occluded_packets(bvh8, light, pts, max_leaves=512)
+    assert not np.asarray(overflow).any()
+
+    seg = make_rays(np.broadcast_to(light, pts.shape), pts - light)
+    bf = brute_force_closest(seg, jnp.asarray(tris))
+    ref = (np.asarray(bf.prim) >= 0) & (np.asarray(bf.t) < 1.0 - 1e-3)
+    np.testing.assert_array_equal(np.asarray(occ), ref)

@@ -36,24 +36,41 @@ MAX_LEVELS = 32
 
 
 def _tile_planes(o, d):
-    """Per-tile frustum: 4 planes from the 16×16 corner directions.
+    """Per-tile frustum: 4 conservative planes bounding ALL tile directions.
 
-    o: (T, 3) shared origins; d: (T, 256, 3). Returns (T, 4, 3) inward
-    normals. ≙ the corner-plane construction at tiny_bvh.h:3545-3560.
+    ≙ the corner-plane construction at tiny_bvh.h:3545-3560, but instead of
+    assuming a grid-ordered pinhole tile (grab the 4 corner rays), bound the
+    bundle in gnomonic coordinates around the mean direction — valid for ANY
+    shared-origin bundle, e.g. shadow rays fanning out from a point light.
+
+    o: (T, 3) shared origins (unused; planes pass through the origin);
+    d: (T, 256, 3), need not be normalized. Returns (T, 4, 3) inward
+    normals n with dot(d_i, n) >= 0 for every ray of the tile. Tiles whose
+    bundle spans >= 90 degrees from the mean get all-pass planes (never
+    cull) — still correct, just unculled.
     """
-    tl = d[:, 0]
-    tr = d[:, 15]
-    bl = d[:, 240]
-    br = d[:, 255]
-    n_top = jnp.cross(tr, tl)
-    n_bottom = jnp.cross(bl, br)
-    n_left = jnp.cross(tl, bl)
-    n_right = jnp.cross(br, tr)
-    n = jnp.stack([n_top, n_bottom, n_left, n_right], axis=1)
-    # orient all normals inward (toward the mean direction)
-    mean = d.mean(axis=1)
-    flip = jnp.sum(n * mean[:, None, :], axis=-1) < 0
-    return jnp.where(flip[:, :, None], -n, n)
+    m = d.mean(axis=1)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-20)
+    ref = jnp.where((jnp.abs(m[:, 1]) < 0.9)[:, None],
+                    jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+    u = jnp.cross(ref, m)
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-20)
+    v = jnp.cross(m, u)
+    dm = jnp.einsum("trk,tk->tr", d, m)  # (T, 256)
+    da = jnp.einsum("trk,tk->tr", d, u)
+    db = jnp.einsum("trk,tk->tr", d, v)
+    wide = (dm <= 1e-9).any(axis=1)  # bundle not within 90° of mean
+    safe = jnp.where(dm <= 1e-9, 1.0, dm)
+    a = da / safe
+    b = db / safe
+    amin = a.min(axis=1)[:, None]
+    amax = a.max(axis=1)[:, None]
+    bmin = b.min(axis=1)[:, None]
+    bmax = b.max(axis=1)[:, None]
+    # dot(d, u - amin·m) = dm·(a - amin) >= 0, etc.
+    n = jnp.stack([u - amin * m, amax * m - u,
+                   v - bmin * m, bmax * m - v], axis=1)  # (T, 4, 3)
+    return jnp.where(wide[:, None, None], 0.0, n)
 
 
 def _aabb_outside(planes, o, lo, hi):
@@ -438,3 +455,32 @@ def _finish(bvh8, rays, best_t, best_pk, overflow, R, T):
         inst=jnp.full(R, -1, jnp.int32),
     )
     return hits, overflow
+
+
+@partial(jax.jit, static_argnames=("max_leaves", "chunk", "use_pallas",
+                                   "interpret", "pair_cap_factor"))
+def is_occluded_packets(bvh8: BVH8, origin, points, cutoff: float = 1.0 - 1e-3,
+                        max_leaves: int = 128, chunk: int = 16,
+                        use_pallas: bool = False, interpret: bool = False,
+                        pair_cap_factor: int = 32):
+    """Any-hit occlusion for R segments origin→points sharing ONE origin
+    (e.g. shadow rays to a point light, traced light→surface so every tile
+    is a coherent shared-origin packet — the reverse of the reference
+    tracing surface→light one ray at a time, IsOccluded tiny_bvh.h:3382).
+
+    points must be in 16x16-tile order (as produced by hit points of
+    packet-ordered primary rays). Directions are left unnormalized so the
+    hit parameter is in [0, 1] along the segment; `cutoff` < 1 excludes
+    the surface itself. Returns ((R,) bool occluded, (T,) overflow)."""
+    points = jnp.asarray(points, jnp.float32)
+    origin = jnp.asarray(origin, jnp.float32)
+    d = points - origin[None, :]
+    o = jnp.broadcast_to(origin, d.shape)
+    from tinybvh_tpu.core.rays import make_rays
+
+    rays = make_rays(o, d)
+    hits, overflow = intersect_packets(
+        bvh8, rays, max_leaves=max_leaves, chunk=chunk,
+        use_pallas=use_pallas, interpret=interpret,
+        pair_cap_factor=pair_cap_factor)
+    return (hits.prim >= 0) & (hits.t < cutoff), overflow
