@@ -139,6 +139,47 @@ def main():
     np.asarray(occ_w)
     shadow_wavefront_mrays = n_rays / (time.perf_counter() - t0) / 1e6
 
+    # diffuse bounce rays (incoherent): cosine-ish random directions from
+    # the primary hit points — traced via coherence-sorted packets
+    # (≙ the reference's diffuse batch, tiny_bvh_speedtest.cpp:557-587)
+    from tinybvh_tpu.traverse.packet import intersect_packets_sorted
+
+    rng = np.random.default_rng(1)
+    tri_hit = np.asarray(tris)[np.maximum(np.asarray(hits.prim), 0)]
+    nrm = np.cross(tri_hit[:, 1] - tri_hit[:, 0], tri_hit[:, 2] - tri_hit[:, 0])
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    nrm = np.where((np.sum(nrm * np.asarray(rays.d), axis=1) > 0)[:, None],
+                   -nrm, nrm)
+    dd = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    dd = np.where((np.sum(dd * nrm, axis=1) < 0)[:, None], -dd, dd)
+    drays = make_rays((p + nrm * 1e-3).astype(np.float32), dd)
+    dh, dov = intersect_packets_sorted(
+        bvh.bvh8, drays, lo, hi, max_leaves=512, use_pallas=use_pallas,
+        pair_cap_factor=64)
+    np.asarray(dh.t)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dh, dov = intersect_packets_sorted(
+            bvh.bvh8, drays, lo, hi, max_leaves=512, use_pallas=use_pallas,
+            pair_cap_factor=64)
+        np.asarray(dh.t)
+        times.append(time.perf_counter() - t0)
+    diffuse_mrays = n_rays / min(times) / 1e6
+    diffuse_overflow = float(np.asarray(dov).mean())
+
+    hw2, _ = intersect_wavefront(bvh.bvh8, drays, cap_factor=2)
+    np.asarray(hw2.t)
+    t0 = time.perf_counter()
+    hw2, _ = intersect_wavefront(bvh.bvh8, drays, cap_factor=2)
+    np.asarray(hw2.t)
+    diffuse_wavefront_mrays = n_rays / (time.perf_counter() - t0) / 1e6
+    # honesty check: overflowed tiles carry truncated leaf lists — how
+    # close is the truncated packet trace to the exact wavefront result?
+    diffuse_agree = float(
+        np.mean(np.asarray(dh.prim) == np.asarray(hw2.prim)))
+
     target = 500.0  # BASELINE.json north-star MRays/s per chip
     result = {
         "metric": f"primary_mrays_{scene_name}",
@@ -155,6 +196,10 @@ def main():
             "hit_rate": round(hit_rate, 4),
             "shadow_mrays": round(shadow_mrays, 3),
             "shadow_wavefront_mrays": round(shadow_wavefront_mrays, 3),
+            "diffuse_mrays": round(diffuse_mrays, 3),
+            "diffuse_overflow": round(diffuse_overflow, 4),
+            "diffuse_agree": round(diffuse_agree, 4),
+            "diffuse_wavefront_mrays": round(diffuse_wavefront_mrays, 3),
             "wavefront_mrays": round(wavefront_mrays, 3),
             "device": str(jax.devices()[0]),
         },

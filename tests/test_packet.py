@@ -132,3 +132,31 @@ def test_is_occluded_packets_point_light():
     bf = brute_force_closest(seg, jnp.asarray(tris))
     ref = (np.asarray(bf.prim) >= 0) & (np.asarray(bf.t) < 1.0 - 1e-3)
     np.testing.assert_array_equal(np.asarray(occ), ref)
+
+
+def test_sorted_packets_incoherent_rays():
+    """Diffuse-style incoherent rays through the sorted-packet path must
+    match brute force exactly (culling is conservative)."""
+    from tinybvh_tpu.traverse.packet import intersect_packets_sorted
+
+    tris = sphere_tris(16, 32, radius=1.0, center=(0, 0, 0))
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    rng = np.random.default_rng(7)
+    R = 1024
+    # random origins on a shell around the sphere, random inward-ish dirs
+    o = rng.normal(size=(R, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 3.0
+    d = rng.normal(size=(R, 3)).astype(np.float32) - o * 0.25
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o.astype(np.float32), d.astype(np.float32))
+    hits, ov = intersect_packets_sorted(
+        bvh8, rays, tris.min(axis=(0, 1)), tris.max(axis=(0, 1)),
+        max_leaves=512)
+    bf = brute_force_closest(rays, jnp.asarray(tris))
+    ok = ~np.asarray(ov)
+    assert ok.mean() > 0.9  # most tiles must fit the leaf budget
+    np.testing.assert_array_equal(np.asarray(hits.prim)[ok] < 0,
+                                  np.asarray(bf.prim)[ok] < 0)
+    hit = ok & (np.asarray(bf.prim) >= 0)
+    np.testing.assert_allclose(np.asarray(hits.t)[hit],
+                               np.asarray(bf.t)[hit], rtol=1e-4, atol=1e-4)

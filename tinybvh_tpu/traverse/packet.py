@@ -85,10 +85,18 @@ def _aabb_outside(planes, o, lo, hi):
 
 @partial(jax.jit, static_argnames=("max_leaves", "pair_cap_factor"))
 def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
-                        pair_cap_factor: int = 64):
+                        pair_cap_factor: int = 64, tile_ohi=None):
     """Phase 1: per-tile frustum BFS → (T, K) leaf rows (-pad I32MAX),
-    plus an overflow mask."""
+    plus an overflow mask.
+
+    tile_o is each tile's origin — or, with tile_ohi given, the per-tile
+    origin-AABB low corner: culling then uses the conservative
+    min over the box of n·o (= relu(n)·olo + min(n,0)·ohi), which makes
+    packets valid for sorted INCOHERENT bundles, not just pinhole tiles."""
     T = tile_o.shape[0]
+    tile_olo = tile_o
+    if tile_ohi is None:
+        tile_ohi = tile_o
     planes = _tile_planes(tile_o, tile_d)
     C = max(T * pair_cap_factor, 8192)
     slot = jnp.arange(C, dtype=jnp.int32)
@@ -119,11 +127,15 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
         # einsums — fewer, larger ops win here (per-op dispatch tax
         # dominates at this frontier size)
         pl_t = planes[pt]           # (C, 4, 3)
-        o_t = tile_o[pt]            # (C, 3)
+        pl_pos = jnp.maximum(pl_t, 0.0)
+        pl_neg = jnp.minimum(pl_t, 0.0)
+        # conservative over the tile's origin box: min_o n·o
+        o_min = (jnp.einsum("cpk,ck->cp", pl_pos, tile_olo[pt])
+                 + jnp.einsum("cpk,ck->cp", pl_neg, tile_ohi[pt]))
         dist = (
-            jnp.einsum("cpk,ckn->cpn", jnp.maximum(pl_t, 0.0), b[:, 3:6])
-            + jnp.einsum("cpk,ckn->cpn", jnp.minimum(pl_t, 0.0), b[:, 0:3])
-            - jnp.einsum("cpk,ck->cp", pl_t, o_t)[:, :, None]
+            jnp.einsum("cpk,ckn->cpn", pl_pos, b[:, 3:6])
+            + jnp.einsum("cpk,ckn->cpn", pl_neg, b[:, 0:3])
+            - o_min[:, :, None]
         )  # (C, 4, 8)
         culled = (dist < 0).any(axis=1)
         valid = active[:, None] & ~culled & (kids != EMPTY_SLOT)
@@ -343,7 +355,8 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
             bvh8, tile_o, d, max_leaves, pair_cap_factor)
     else:
         leaves, overflow = collect_tile_leaves(
-            bvh8, tile_o, d, max_leaves, pair_cap_factor)
+            bvh8, o.min(axis=1), d, max_leaves, pair_cap_factor,
+            tile_ohi=o.max(axis=1))
 
     # phase 2: dense chunked leaf resolve — no per-ray gathers
     lt = bvh8.leaf_tris  # (L, 4, 3, 3)
@@ -484,3 +497,71 @@ def is_occluded_packets(bvh8: BVH8, origin, points, cutoff: float = 1.0 - 1e-3,
         use_pallas=use_pallas, interpret=interpret,
         pair_cap_factor=pair_cap_factor)
     return (hits.prim >= 0) & (hits.t < cutoff), overflow
+
+
+def _spread10(x):
+    """Spread 10 bits to every 3rd position (morton helper)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def sort_rays_coherent(o, d, scene_lo, scene_hi):
+    """Coherence sort for incoherent rays (≙ the tiling of the reference's
+    diffuse batches, tiny_bvh_speedtest.cpp:513-551, done as a sort):
+    key = direction cell (7 bits: octant + 2x2 gnomonic sub-cells) |
+    origin morton (24 bits). Returns (order, inverse) permutations;
+    consecutive 256-ray groups of `order` form packet tiles with bounded
+    direction spread (< ~45° per cell) and compact origin boxes."""
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    R = o.shape[0]
+    ext = jnp.maximum(jnp.asarray(scene_hi) - jnp.asarray(scene_lo), 1e-20)
+    q = jnp.clip(((o - scene_lo) / ext * 1024.0).astype(jnp.int32), 0, 1023)
+    morton = (_spread10(q[:, 0]) | (_spread10(q[:, 1]) << 1)
+              | (_spread10(q[:, 2]) << 2))
+    octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
+              + (d[:, 1] < 0).astype(jnp.int32) * 2
+              + (d[:, 2] < 0).astype(jnp.int32))
+    # sub-cells within the octant: split by the two minor-axis ratios
+    ad = jnp.abs(d)
+    dom = jnp.argmax(ad, axis=1)
+    amax = jnp.max(ad, axis=1)
+    r = ad / jnp.maximum(amax, 1e-20)[:, None]
+    # the two non-dominant ratios, in axis order
+    ratios = jnp.stack([
+        jnp.where(dom == 0, r[:, 1], r[:, 0]),
+        jnp.where(dom == 2, r[:, 1], r[:, 2]),
+    ], axis=1)
+    sub = ((ratios[:, 0] > 0.5).astype(jnp.int32) * 2
+           + (ratios[:, 1] > 0.5).astype(jnp.int32))
+    key = (octant << 27) | (sub << 25) | (morton >> 5)
+    iota = jnp.arange(R, dtype=jnp.int32)
+    _, order = lax.sort((key, iota), num_keys=1)
+    _, inverse = lax.sort((order, iota), num_keys=1)
+    return order, inverse
+
+
+@partial(jax.jit, static_argnames=("max_leaves", "chunk", "use_pallas",
+                                   "interpret", "pair_cap_factor"))
+def intersect_packets_sorted(bvh8: BVH8, rays: Rays, scene_lo, scene_hi,
+                             max_leaves: int = 128, chunk: int = 16,
+                             use_pallas: bool = False,
+                             interpret: bool = False,
+                             pair_cap_factor: int = 32):
+    """Packet tracing for INCOHERENT rays (diffuse bounces, random batches):
+    sort rays into coherent tiles (direction octant + origin morton), trace
+    with origin-AABB frustum culling, scatter hits back to input order.
+    Returns (Hits in input order, per-ray overflow mask)."""
+    R = rays.o.shape[0]
+    order, inverse = sort_rays_coherent(rays.o, rays.d, scene_lo, scene_hi)
+    rs = Rays(o=rays.o[order], d=rays.d[order], rd=rays.rd[order],
+              mask=rays.mask[order])
+    hits, overflow = intersect_packets(
+        bvh8, rs, max_leaves=max_leaves, chunk=chunk, use_pallas=use_pallas,
+        interpret=interpret, pair_cap_factor=pair_cap_factor)
+    ov_ray = jnp.repeat(overflow, TILE)[inverse]
+    return Hits(t=hits.t[inverse], u=hits.u[inverse], v=hits.v[inverse],
+                prim=hits.prim[inverse], inst=hits.inst[inverse]), ov_ray
