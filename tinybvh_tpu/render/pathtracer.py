@@ -28,7 +28,9 @@ from tinybvh_tpu.core.intersect import tri_edges
 from tinybvh_tpu.core.rays import Rays, make_rays
 from tinybvh_tpu.core.rng import cosine_hemisphere
 from tinybvh_tpu.core.vecmath import BVH_FAR, normalize
-from tinybvh_tpu.traverse.wide import intersect_bvh8, is_occluded_bvh8
+from tinybvh_tpu.traverse.wavefront import (
+    intersect_wavefront, is_occluded_wavefront,
+)
 
 
 def make_scene_arrays(tris, albedo=None, emissive=None, uvs=None,
@@ -104,7 +106,7 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
     for bounce in range(bounces):
         key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
         cur = Rays(o=o, d=d, rd=rd, mask=rays.mask)
-        hits = intersect_bvh8(bvh8, cur)
+        hits, _ = intersect_wavefront(bvh8, cur)
         hit_ok = alive & (hits.prim >= 0)
 
         # environment on miss (≙ raytracer.cl skydome lookup)
@@ -162,7 +164,7 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
             jnp.sum(l_emit, axis=-1) > 0
         )
         srays = make_rays(p + n * 1e-4, wi * dist[:, None])
-        occluded = is_occluded_bvh8(bvh8, srays, 1.0 - 1e-3)
+        occluded = is_occluded_wavefront(bvh8, srays, 1.0 - 1e-3)
         # pdf of sampling that point on that light (area measure → solid angle)
         pdf = dist2 / jnp.maximum(cos_l * larea * n_lights, 1e-9)
         contrib = (

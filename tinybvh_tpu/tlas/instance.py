@@ -505,11 +505,11 @@ def intersect_tlas_wavefront(
         lane_rank = slot - offs[src]
         rank = jnp.cumsum(k_keep, axis=1) - k_keep
         lanes8 = jnp.arange(8, dtype=jnp.int32)
-        lookup = jnp.zeros((P, 8), jnp.int32)
-        for k in range(8):
-            lookup = jnp.where(
-                (rank[:, k][:, None] == lanes8[None, :])
-                & k_keep[:, k][:, None], k, lookup)
+        # one-hot reduction instead of an 8-step select chain (op count is
+        # the cost currency in this loop)
+        onehot = (rank[:, :, None] == lanes8[None, None, :]) \
+            & k_keep[:, :, None]
+        lookup = jnp.sum(onehot * lanes8[:, None], axis=1, dtype=jnp.int32)
         lane = lookup.reshape(-1)[src * 8 + (lane_rank % 8)]
         flat = src * 8 + lane
         in_range = slot < total

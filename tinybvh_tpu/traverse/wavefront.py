@@ -236,15 +236,12 @@ def intersect_wavefront(
 
 def _rank_to_lane(rank, valid):
     """(P, 8) exclusive ranks + validity → lane_lookup[p, r] = lane index of
-    the r-th valid lane (one fused pass, no scatters)."""
+    the r-th valid lane — a one-hot reduction (3 ops) instead of an 8-step
+    select chain (~24 ops; per-op dispatch cost dominates this loop)."""
     lanes8 = jnp.arange(8, dtype=jnp.int32)
-    lookup = jnp.zeros(rank.shape, jnp.int32)
-    for k in range(8):
-        lookup = jnp.where(
-            (rank[:, k][:, None] == lanes8[None, :]) & valid[:, k][:, None],
-            k, lookup,
-        )
-    return lookup
+    onehot = (rank[:, :, None] == lanes8[None, None, :]) \
+        & valid[:, :, None]                               # (P, 8k, 8r)
+    return jnp.sum(onehot * lanes8[:, None], axis=1, dtype=jnp.int32)
 
 
 def is_occluded_wavefront(bvh8: BVH8, rays: Rays, t_max):
