@@ -56,3 +56,59 @@ def test_tlas_pt_lit_interior():
     acc /= 6
     assert np.isfinite(acc).all()
     assert 0.005 < acc.mean() < 8.0
+
+
+def test_tlas_textured_albedo_scales_radiance():
+    """A 0.5-grey texture on the floor instance must exactly halve the
+    NEE radiance vs an untextured (white) trace with the same key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tinybvh_tpu.builders.binned import build_binned
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+    from tinybvh_tpu.render.pathtracer_tlas import trace_paths_tlas
+    from tinybvh_tpu.render.textures import build_atlas
+    from tinybvh_tpu.tlas.instance import build_tlas, merge_leaf_attrs
+
+    floor = np.array([
+        [[-2, 0, -2], [2, 0, -2], [2, 0, 2]],
+        [[-2, 0, -2], [2, 0, 2], [-2, 0, 2]],
+    ], np.float32)
+    light = floor * np.array([0.25, 1, 0.25], np.float32) \
+        + np.array([0, 3, 0], np.float32)
+    light = light[:, ::-1]  # flip winding so the normal faces down
+    blases = [collapse_bvh2(build_binned(floor, max_leaf=4), floor),
+              collapse_bvh2(build_binned(light, max_leaf=4), light)]
+    tlas = build_tlas(blases, [(0, np.eye(4)), (1, np.eye(4))])
+    inst_albedo = np.array([[1, 1, 1], [0, 0, 0]], np.float32)
+    inst_emissive = np.array([[0, 0, 0], [5, 5, 5]], np.float32)
+
+    uvs = np.array([
+        [[0, 0], [1, 0], [1, 1]],
+        [[0, 0], [1, 1], [0, 1]],
+    ], np.float32)
+    leaf_uvs = merge_leaf_attrs(blases, [uvs, np.zeros_like(uvs)])
+    grey = build_atlas([np.full((2, 2, 3), 0.5, np.float32)])
+    leaf_tex_g = merge_leaf_attrs(
+        blases, [np.zeros(2, np.int32), np.full(2, -1, np.int32)])
+
+    R = 64
+    o = np.stack([np.linspace(-1.5, 1.5, R), np.full(R, 2.0),
+                  np.zeros(R)], -1).astype(np.float32)
+    d = np.tile([[0, -1, 0]], (R, 1)).astype(np.float32)
+    rays = make_rays(o, d)
+    key = jax.random.PRNGKey(3)
+
+    rad_white = np.asarray(trace_paths_tlas(
+        tlas, inst_albedo, inst_emissive, jnp.asarray(light),
+        jnp.asarray(inst_emissive[1])[None].repeat(2, 0), rays, key,
+        bounces=1))
+    rad_grey = np.asarray(trace_paths_tlas(
+        tlas, inst_albedo, inst_emissive, jnp.asarray(light),
+        jnp.asarray(inst_emissive[1])[None].repeat(2, 0), rays, key,
+        bounces=1, leaf_uvs=leaf_uvs, leaf_tex=leaf_tex_g, tex=grey))
+    lit = rad_white.sum(axis=1) > 1e-4
+    assert lit.any()
+    np.testing.assert_allclose(rad_grey[lit], 0.5 * rad_white[lit],
+                               rtol=1e-5, atol=1e-6)

@@ -31,8 +31,16 @@ from tinybvh_tpu.tlas.instance import TLAS8, intersect_tlas_wavefront
 @partial(jax.jit, static_argnames=("bounces", "cap_factor"))
 def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
                      light_emission, rays: Rays, key, bounces: int = 3,
-                     cap_factor: int = 4):
-    """One sample per ray over an instanced scene → (R, 3) radiance."""
+                     cap_factor: int = 4, leaf_uvs=None, leaf_tex=None,
+                     tex=None):
+    """One sample per ray over an instanced scene → (R, 3) radiance.
+
+    Optional texture mapping (≙ the textured materials of the reference's
+    full GPU renderer, raytracer.cl): leaf_uvs (L, 4, 3, 2) and leaf_tex
+    (L, 4) are merged leaf-aligned tables (tlas.merge_leaf_attrs over
+    per-BLAS per-triangle UVs / texture ids); tex is a
+    render.textures.build_atlas dict. The sampled color multiplies the
+    instance albedo at the hit's interpolated UV."""
     R = rays.o.shape[0]
     n_lights = light_tris.shape[0]
     lv0, le1, le2 = tri_edges(light_tris)
@@ -70,6 +78,14 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
             (hit_ok & count_emission)[:, None], throughput * emit, 0.0)
 
         mat_albedo = inst_albedo[inst]
+        if leaf_uvs is not None:
+            from tinybvh_tpu.render.textures import sample_atlas
+
+            tuv = leaf_uvs[wl, wk]  # (R, 3, 2)
+            w0 = (1.0 - hits.u - hits.v)[:, None]
+            uv = (w0 * tuv[:, 0] + hits.u[:, None] * tuv[:, 1]
+                  + hits.v[:, None] * tuv[:, 2])
+            mat_albedo = mat_albedo * sample_atlas(tex, leaf_tex[wl, wk], uv)
 
         # --- NEE toward a sampled world-space light -----------------------
         li = jax.random.randint(k1, (R,), 0, n_lights)

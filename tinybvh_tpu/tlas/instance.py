@@ -550,3 +550,22 @@ def intersect_tlas_wavefront(
         # winner leaf row + lane (for shading-normal lookup)
         return hits, jnp.where(ok, win, -1), s["overflow"]
     return hits, s["overflow"]
+
+
+def merge_leaf_attrs(blases, attrs):
+    """Per-BLAS per-primitive shading attributes → one merged (L, 4, ...)
+    table aligned with TLAS8.leaf_tris (same BLAS concatenation order as
+    build_tlas). attrs[i] is (N_i, ...) indexed by BLAS-local prim id —
+    e.g. per-triangle UV triples or texture ids. Empty leaf lanes keep
+    index-0 data; their triangles are degenerate and never win a hit.
+
+    ≙ the per-instance shading tables uploaded next to the BVH by the
+    reference's GPU tracer (wavefront2.cl Instance struct / FatTri data).
+    """
+    import numpy as _np
+
+    out = []
+    for b, a in zip(blases, attrs):
+        lp = _np.asarray(b.leaf_prim)
+        out.append(_np.asarray(a)[_np.maximum(lp, 0)])
+    return jnp.asarray(_np.concatenate(out, axis=0))
