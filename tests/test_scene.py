@@ -152,3 +152,53 @@ def test_add_quad_and_skydome():
     up = sky.sample([0.0, 1.0, 0.0])
     dn = sky.sample([0.0, -1.0, 0.0])
     assert up[0] == 1.0 and dn[2] == 1.0
+
+
+def test_scene_shading_tables_feed_textured_tracer():
+    """Scene.shading_tables glues materials/textures/UVs to the textured
+    TLAS tracer: a 0.5-grey textured floor exactly halves NEE radiance."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.render.pathtracer_tlas import trace_paths_tlas
+    from tinybvh_tpu.scene.graph import Scene
+    from tinybvh_tpu.scene.mesh import Material, Mesh, Texture
+
+    sc = Scene()
+    sc.textures.append(Texture(data=np.full((2, 2, 3), 0.5, np.float32)))
+    grey_mat = sc.add_material(Material(texture=0))
+    floor = np.array([
+        [[-2, 0, -2], [2, 0, -2], [2, 0, 2]],
+        [[-2, 0, -2], [2, 0, 2], [-2, 0, 2]],
+    ], np.float32)
+    uvs = np.array([
+        [[0, 0], [1, 0], [1, 1]],
+        [[0, 0], [1, 1], [0, 1]],
+    ], np.float32)
+    light = floor[:, ::-1] * np.array([0.25, 1, 0.25], np.float32) \
+        + np.array([0, 3, 0], np.float32)
+    fid = sc.add_mesh(Mesh(tris=floor, uvs=uvs,
+                           mat_id=np.full(2, grey_mat, np.int32)))
+    lid = sc.add_mesh(Mesh(tris=light))
+    sc.add_instance(fid)
+    sc.add_instance(lid)
+    sc.update(0.0)
+    leaf_uvs, leaf_tex, atlas = sc.shading_tables()
+
+    inst_albedo = np.array([[1, 1, 1], [0, 0, 0]], np.float32)
+    inst_emissive = np.array([[0, 0, 0], [5, 5, 5]], np.float32)
+    R = 32
+    o = np.stack([np.linspace(-1.5, 1.5, R), np.full(R, 2.0),
+                  np.zeros(R)], -1).astype(np.float32)
+    rays = make_rays(o, np.tile([[0, -1, 0]], (R, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    args = (sc.tlas, inst_albedo, inst_emissive, jnp.asarray(light),
+            jnp.asarray(inst_emissive[1])[None].repeat(2, 0), rays, key)
+    rad_white = np.asarray(trace_paths_tlas(*args, bounces=1))
+    rad_grey = np.asarray(trace_paths_tlas(
+        *args, bounces=1, leaf_uvs=leaf_uvs, leaf_tex=leaf_tex, tex=atlas))
+    lit = rad_white.sum(axis=1) > 1e-4
+    assert lit.any()
+    np.testing.assert_allclose(rad_grey[lit], 0.5 * rad_white[lit],
+                               rtol=1e-5, atol=1e-6)

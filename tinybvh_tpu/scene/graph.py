@@ -321,7 +321,37 @@ class Scene:
             remap = {m: i for i, m in enumerate(used)}
             pairs = [(remap[m], w) for m, w in instances]
             self._tlas = build_tlas([self._blas[m] for m in used], pairs)
+            self._tlas_meshes = used
         return self
+
+    def shading_tables(self):
+        """Merged leaf-aligned shading tables for the textured TLAS path
+        tracer: (leaf_uvs (L,4,3,2), leaf_tex (L,4), atlas dict) — the
+        counterpart of the reference renderer uploading FatTri UVs +
+        material/texture tables next to the BVH (tmpl8/gltfdemo.cpp +
+        raytracer.cl). Call after update(). Pass straight into
+        trace_paths_tlas(..., leaf_uvs=, leaf_tex=, tex=)."""
+        assert self._tlas is not None, "call update() first"
+        from tinybvh_tpu.render.textures import build_atlas
+        from tinybvh_tpu.tlas.instance import merge_leaf_attrs
+
+        blases = [self._blas[m] for m in self._tlas_meshes]
+        uv_list, tex_list = [], []
+        for m in self._tlas_meshes:
+            mesh = self.meshes[m]
+            n = len(mesh.tris)
+            uvs = (mesh.uvs if mesh.uvs is not None
+                   else np.zeros((n, 3, 2), np.float32))
+            tex_ids = np.array([
+                self.materials[int(mid)].texture
+                if 0 <= int(mid) < len(self.materials) else -1
+                for mid in mesh.mat_id
+            ], np.int32)
+            uv_list.append(np.asarray(uvs, np.float32))
+            tex_list.append(tex_ids)
+        atlas = build_atlas([t.data for t in self.textures])
+        return (merge_leaf_attrs(blases, uv_list),
+                merge_leaf_attrs(blases, tex_list), atlas)
 
     def _update_blas(self, mid, deformed):
         from tinybvh_tpu.layouts.mbvh import collapse_bvh2
