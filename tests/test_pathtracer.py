@@ -104,3 +104,47 @@ def test_occlusion_darkens():
         acc_c += float(np.asarray(
             trace_paths(bvh8, scene, r_corner, k2, bounces=1)).sum())
     assert acc_m > acc_c  # floor under the light is brighter
+
+
+def test_smooth_vertex_normals_change_shading():
+    """NEE shading must use the interpolated vertex normal: tilting the
+    floor's vertex normals changes the cosine term deterministically
+    (same RNG key), while flat geometric shading is unaffected."""
+    import jax
+
+    import tinybvh_tpu as tb
+    from tinybvh_tpu.render.pathtracer import (
+        add_vertex_normals, make_scene_arrays, trace_paths,
+    )
+
+    # floor + small emissive quad high above (NEE light)
+    floor = np.array([
+        [[-2, 0, -2], [2, 0, -2], [2, 0, 2]],
+        [[-2, 0, -2], [2, 0, 2], [-2, 0, 2]],
+    ], np.float32)
+    light = (floor[:, ::-1] * np.array([0.1, 1, 0.1], np.float32)
+             + np.array([0, 4, 0], np.float32))
+    tris = np.concatenate([floor, light])
+    emis = np.zeros((4, 3), np.float32)
+    emis[2:] = 10.0
+    bvh = tb.BVH(tris, layout="bvh8")
+    base = make_scene_arrays(tris, albedo=np.ones((4, 3), np.float32),
+                             emissive=emis)
+    tilt = np.tile(np.array([0, 1, 1], np.float32) / np.sqrt(2), (4, 3, 1))
+    smooth = add_vertex_normals(
+        make_scene_arrays(tris, albedo=np.ones((4, 3), np.float32),
+                          emissive=emis), tilt)
+
+    R = 64
+    o = np.stack([np.linspace(-1.5, 1.5, R), np.full(R, 2.0),
+                  np.zeros(R)], -1).astype(np.float32)
+    rays = tb.make_rays(o, np.tile([[0, -1, 0]], (R, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    r_flat = np.asarray(trace_paths(bvh.bvh8, base, rays, key, bounces=1))
+    r_smooth = np.asarray(trace_paths(bvh.bvh8, smooth, rays, key,
+                                      bounces=1))
+    assert np.isfinite(r_flat).all() and np.isfinite(r_smooth).all()
+    lit = r_flat.sum(axis=1) > 1e-4
+    assert lit.any()
+    # same key -> same light sample; only the cosine term changed
+    assert np.abs(r_flat[lit] - r_smooth[lit]).max() > 1e-4

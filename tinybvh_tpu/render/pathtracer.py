@@ -76,6 +76,14 @@ def make_scene_arrays(tris, albedo=None, emissive=None, uvs=None,
     return scene
 
 
+def add_vertex_normals(scene, normals):
+    """Attach (N, 3, 3) per-vertex shading normals (≙ FatTri's vN0-2,
+    tiny_scene.h:319-348): hits then use the barycentric interpolation
+    instead of the flat geometric normal."""
+    scene["normals"] = jnp.asarray(normals, jnp.float32)
+    return scene
+
+
 def _tri_geom(tris, prim):
     t = tris[jnp.maximum(prim, 0)]
     v0, e1, e2 = tri_edges(t)
@@ -120,6 +128,12 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
 
         prim = jnp.maximum(hits.prim, 0)
         v0, e1, e2, n, _ = _tri_geom(tris, prim)
+        if "normals" in scene:
+            # smooth shading: barycentric-interpolated vertex normals
+            vn = scene["normals"][prim]  # (R, 3, 3)
+            w0 = (1.0 - hits.u - hits.v)[:, None]
+            n = normalize(w0 * vn[:, 0] + hits.u[:, None] * vn[:, 1]
+                          + hits.v[:, None] * vn[:, 2])
         # face-forward normal
         n = jnp.where(
             (jnp.sum(n * d, axis=-1) > 0)[:, None], -n, n
