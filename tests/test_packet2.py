@@ -1,0 +1,197 @@
+"""Packet-v2 pipeline tests (dense cull kernel + sorted early-exit MT).
+
+All Pallas kernels run in interpret mode on the CPU backend. Oracles:
+the wavefront engine (validated against brute force in test_wavefront.py)
+and direct f64 brute-force Moller-Trumbore.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tinybvh_tpu.builders.binned import build_binned
+from tinybvh_tpu.core.rays import make_rays
+from tinybvh_tpu.io.loaders import random_tris
+from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+from tinybvh_tpu.traverse.packet import collect_tile_leaves, _tile_planes
+from tinybvh_tpu.traverse.packet2 import (
+    _I32MAX, _decode_keys, build_packet_aux, cull_tiles, intersect_packets2,
+    intersect_packets2_sorted, is_occluded_packets2,
+)
+from tinybvh_tpu.traverse.wavefront import intersect_wavefront
+
+
+@pytest.fixture(scope="module")
+def scene():
+    tris = random_tris(3000, seed=0)
+    bvh2 = build_binned(tris, max_leaf=4)
+    bvh8 = collapse_bvh2(bvh2, jnp.asarray(tris))
+    aux = build_packet_aux(bvh8)
+    return tris, bvh8, aux
+
+
+def _camera_rays(T=4, seed=3):
+    rng = np.random.default_rng(seed)
+    eye = np.array([0.5, 0.5, -4.0], np.float32)
+    d = []
+    for _ in range(T):
+        cx, cy = rng.uniform(0.2, 0.8, 2)
+        gx, gy = np.meshgrid((np.arange(16) + 0.5) / 16 * 0.2,
+                             (np.arange(16) + 0.5) / 16 * 0.2)
+        dd = np.stack([cx + gx, cy + gy, np.full_like(gx, 4.0)], -1)
+        dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+        d.append(dd.reshape(-1, 3))
+    d = np.concatenate(d).astype(np.float32)
+    o = np.broadcast_to(eye, d.shape)
+    return o, d
+
+
+def test_g_rows_match_moller_trumbore(scene, rng):
+    """The triple-product rows must reproduce MT's (det, u, v, t)."""
+    tris, bvh8, aux = scene
+    g = np.asarray(aux.gtab).reshape(-1, 48)
+    lt = np.asarray(bvh8.leaf_tris).reshape(-1, 3, 3)
+    lp = np.asarray(bvh8.leaf_prim).reshape(-1)
+    c0 = np.asarray(aux.center)
+    sel = rng.choice(np.where(lp >= 0)[0], 64, replace=False)
+    o = rng.uniform(-2, 12, (64, 3)).astype(np.float32) - c0
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    f = np.concatenate(
+        [d, np.cross(o, d), o, np.ones((64, 1)), np.zeros((64, 2))], axis=1)
+    for i, tri_i in enumerate(sel):
+        gi = g[tri_i]
+        det = gi[0:12] @ f[i]
+        up = gi[12:24] @ f[i]
+        vp = gi[24:36] @ f[i]
+        tp = gi[36:48] @ f[i]
+        v0 = lt[tri_i, 0] - c0
+        e1 = lt[tri_i, 1] - lt[tri_i, 0]
+        e2 = lt[tri_i, 2] - lt[tri_i, 0]
+        h = np.cross(d[i], e2)
+        det_ref = float(e1 @ h)
+        if abs(det_ref) < 1e-6:
+            continue
+        s = o[i] - v0
+        u_ref = float(s @ h) / det_ref
+        q = np.cross(s, e1)
+        v_ref = float(d[i] @ q) / det_ref
+        t_ref = float(e2 @ q) / det_ref
+        assert np.isclose(up / det, u_ref, atol=2e-3)
+        assert np.isclose(vp / det, v_ref, atol=2e-3)
+        assert np.isclose(tp / det, t_ref, atol=2e-3)
+
+
+def test_cull_matches_frontier_collector(scene):
+    """Dense cull = BFS collector leaf sets (hierarchy-free equivalence)."""
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=4)
+    T = 4
+    o4 = jnp.asarray(o.reshape(T, 256, 3))
+    d4 = jnp.asarray(d.reshape(T, 256, 3))
+    planes = _tile_planes(o4[:, 0], d4)
+    posn = jnp.maximum(planes, 0.0)
+    negn = jnp.minimum(planes, 0.0)
+    olo, ohi = o4.min(axis=1), o4.max(axis=1)
+    thresh = (jnp.einsum("tpk,tk->tp", posn, olo)
+              + jnp.einsum("tpk,tk->tp", negn, ohi))
+    keys, counts = cull_tiles(aux, posn, negn, thresh, olo, ohi,
+                              k_cap=256, interpret=True)
+    ref_lv, _ = collect_tile_leaves(bvh8, olo, d4, max_leaves=512,
+                                    pair_cap_factor=64, tile_ohi=ohi)
+    _, leaves = _decode_keys(keys)
+    keys_np = np.asarray(keys)
+    leaves_np = np.asarray(leaves)
+    ref_np = np.asarray(ref_lv)
+    for t in range(T):
+        got = set(leaves_np[t][keys_np[t] != _I32MAX].tolist())
+        want = set(ref_np[t][ref_np[t] != 2**31 - 1].tolist())
+        assert got == want
+        assert int(np.asarray(counts)[t]) == len(want)
+
+
+def test_primary_matches_wavefront(scene):
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=4)
+    rays = make_rays(o, d)
+    hits, ovf = intersect_packets2(bvh8, aux, rays, max_leaves=256,
+                                   interpret=True, retrace=False)
+    ref, wovf = intersect_wavefront(bvh8, rays, cap_factor=16)
+    assert not bool(np.asarray(wovf))
+    assert not np.asarray(ovf).any()
+    hp, rp = np.asarray(hits.prim), np.asarray(ref.prim)
+    assert (hp == rp).all()
+    m = rp >= 0
+    assert m.mean() > 0.3
+    np.testing.assert_allclose(np.asarray(hits.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_occlusion_vs_brute_force(scene):
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=2)
+    rays = make_rays(o, d)
+    ref, _ = intersect_wavefront(bvh8, rays, cap_factor=16)
+    pts = np.asarray(ref.t)[:, None] * d + o
+    pts = np.clip(pts, -50, 50)
+    light = np.array([5.0, 14.0, 5.0], np.float32)
+    occ, ovf = is_occluded_packets2(bvh8, aux, light, pts[:512],
+                                    interpret=True, retrace=True,
+                                    wf_cap_factor=24)
+    assert not np.asarray(ovf).any()
+    lt = np.asarray(tris, np.float64)
+    v0 = lt[:, 0]
+    e1 = lt[:, 1] - v0
+    e2 = lt[:, 2] - v0
+    oo = light.astype(np.float64)
+    for i in range(0, 512, 17):
+        dd = pts[i].astype(np.float64) - oo
+        h = np.cross(dd, e2)
+        det = (e1 * h).sum(1)
+        ok = np.abs(det) > 1e-15
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        s = oo - v0
+        u = (s * h).sum(1) * inv
+        q = np.cross(s, e1)
+        v = (dd[None] * q).sum(1) * inv
+        t = (e2 * q).sum(1) * inv
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0) & (t < 1 - 1e-3)
+        assert bool(np.asarray(occ)[i]) == bool(hit.any())
+
+
+def test_sorted_diffuse_matches_wavefront(scene, rng):
+    tris, bvh8, aux = scene
+    o = rng.uniform(-1, 11, (2048, 3)).astype(np.float32)
+    d = rng.normal(size=(2048, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    hits, fb = intersect_packets2_sorted(
+        bvh8, aux, rays, [0.0, 0.0, 0.0], [10.0, 10.0, 10.0],
+        max_leaves=256, interpret=True, retrace=True, wf_cap_factor=24)
+    ref, wovf = intersect_wavefront(bvh8, rays, cap_factor=24)
+    assert not bool(np.asarray(wovf))
+    assert (np.asarray(hits.prim) == np.asarray(ref.prim)).all()
+
+
+def test_overflow_reported_and_retraced(scene):
+    """A tiny leaf budget must flag overflow; retrace must restore hits."""
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=1)
+    rays = make_rays(o, d)
+    hits, ovf = intersect_packets2(bvh8, aux, rays, max_leaves=32,
+                                   interpret=True, retrace=False)
+    # this camera tile sees more than 32/4 leaf rows worth only if dense;
+    # force overflow with a wide bundle instead
+    rng = np.random.default_rng(0)
+    dw = rng.normal(size=(256, 3)).astype(np.float32)
+    dw /= np.linalg.norm(dw, axis=1, keepdims=True)
+    ow = np.full((256, 3), 5.0, np.float32)
+    rays_w = make_rays(ow, dw)
+    hits0, ovf0 = intersect_packets2(bvh8, aux, rays_w, max_leaves=32,
+                                     interpret=True, retrace=False)
+    assert np.asarray(ovf0).all()
+    hits1, ovf1 = intersect_packets2(bvh8, aux, rays_w, max_leaves=32,
+                                     interpret=True, retrace=True,
+                                     wf_cap_factor=24)
+    ref, _ = intersect_wavefront(bvh8, rays_w, cap_factor=24)
+    assert (np.asarray(hits1.prim) == np.asarray(ref.prim)).all()
+    assert not np.asarray(ovf1).any()
