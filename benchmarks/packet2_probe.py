@@ -1,0 +1,136 @@
+"""Real-TPU probe for the packet2 pipeline: per-stage + end-to-end timing.
+
+Timing methodology per benchmarks/op_cost_probe.py: jitted calls, input
+varied between repeats where cheap, host transfer forced at the end of each
+timed region. Run standalone on the tunneled TPU (single client!).
+"""
+
+import time
+import sys
+
+import numpy as np
+
+
+def main(K=256):
+    import jax
+    import jax.numpy as jnp
+
+    from tinybvh_tpu.api import BVH
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.io.loaders import load_bin
+    from tinybvh_tpu.traverse import packet2 as p2
+    from tinybvh_tpu.traverse.packet import _tile_planes
+
+    tris = load_bin("/root/reference/testdata/bunny.bin")
+    print("tris:", tris.shape, "backend:", jax.default_backend(), flush=True)
+    bvh = BVH(tris)
+    bvh8 = bvh.bvh8
+    aux = p2.build_packet_aux(bvh8)
+    jax.block_until_ready(aux.gtab)
+    print("aux ready: L =", aux.n_leaves, flush=True)
+
+    lo, hi = bvh.aabb
+    center = (lo + hi) * 0.5
+    extent = float(np.max(hi - lo))
+    eye = center + np.array([0.6, 0.35, 1.1]) * extent * 1.2
+    fwd = center - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, [0, 1, 0])
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    W = H = 640
+    xs = (np.arange(W) + 0.5) / W - 0.5
+    ys = (np.arange(H) + 0.5) / H - 0.5
+    gx, gy = np.meshgrid(xs, ys)
+    d = (fwd[None, None] + 0.9 * gx[..., None] * right[None, None]
+         + 0.9 * gy[..., None] * up[None, None])
+    d /= np.linalg.norm(d, axis=2, keepdims=True)
+    d = d.reshape(H // 16, 16, W // 16, 16, 3).transpose(0, 2, 1, 3, 4)
+    d = d.reshape(-1, 3).astype(np.float32)
+    o = np.broadcast_to(eye.astype(np.float32), d.shape)
+    rays = make_rays(o, d)
+    R = d.shape[0]
+    T = R // 256
+    print("rays:", R, "tiles:", T, flush=True)
+
+    def timeit(name, fn, *args, reps=3, **kw):
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args, **kw)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:22s} {min(ts)*1e3:8.2f} ms", flush=True)
+        return out, min(ts)
+
+    # stage 1: cull
+    o4 = jnp.asarray(o.reshape(T, 256, 3))
+    d4 = jnp.asarray(d.reshape(T, 256, 3))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k_cap",))
+    def stage_cull(aux, o4, d4, k_cap):
+        olo, ohi = o4.min(axis=1), o4.max(axis=1)
+        planes = _tile_planes(o4[:, 0], d4)
+        posn = jnp.maximum(planes, 0.0)
+        negn = jnp.minimum(planes, 0.0)
+        thresh = (jnp.einsum("tpk,tk->tp", posn, olo)
+                  + jnp.einsum("tpk,tk->tp", negn, ohi))
+        return p2.cull_tiles(aux, posn, negn, thresh, olo, ohi, k_cap=k_cap)
+
+    (keys, counts), t_cull = timeit("cull (K1)", stage_cull, aux, o4, d4, K)
+    cnt = np.asarray(counts)
+    print("  leaf counts: mean", cnt.mean(), "max", cnt.max(),
+          "overflow tiles:", (cnt > K).sum(), flush=True)
+
+    @jax.jit
+    def stage_gather(aux, keys):
+        keys_s = keys[:, :K]
+        _, leaves = p2._decode_keys(keys_s)
+        live = keys_s != p2._I32MAX
+        lrow = jnp.where(live, leaves, 0)
+        gflat = aux.gtab.reshape(-1, 48)
+        zrow = jnp.int32(gflat.shape[0])
+        gflat = jnp.concatenate(
+            [gflat, jnp.zeros((1, 48), jnp.float32)], axis=0)
+        lanes4 = jnp.arange(4, dtype=jnp.int32)
+        tri_idx = jnp.where(live[:, :, None],
+                            lrow[:, :, None] * 4 + lanes4,
+                            zrow).reshape(T, K * 4)
+        geom = gflat[tri_idx]
+        blk_live = live.reshape(T, K // 32, 32).any(axis=2)
+        lbg = jnp.where(blk_live, 0.0, jnp.inf).reshape(T, 1, K // 32)
+        return geom, lbg, lrow
+
+    (geom, lbg, lrow), t_gather = timeit("gather", stage_gather, aux, keys)
+
+    o_c = jnp.transpose(o4 - aux.center, (0, 2, 1))
+    d_t = jnp.transpose(d4, (0, 2, 1))
+    tmax = jnp.full((T, 1, 1), 1e30, jnp.float32)
+    (bt, bi), t_mt = timeit("MT (K2)", p2.mt_resolve, o_c, d_t, geom, lbg,
+                            tmax)
+
+    # end-to-end
+    def e2e(rays):
+        hits, ovf = p2.intersect_packets2(bvh8, aux, rays, max_leaves=K,
+                                          retrace=False)
+        return hits.t, hits.prim, ovf
+
+    (ht, hp, ovf), t_e2e = timeit("end-to-end", e2e, rays)
+    print(f"primary MRays/s (packet2): {R / t_e2e / 1e6:.2f}", flush=True)
+    print("hit rate:", float(np.mean(np.asarray(hp) >= 0)),
+          "overflow:", int(np.asarray(ovf).sum()), flush=True)
+
+    # agreement vs wavefront
+    from tinybvh_tpu.traverse.wavefront import intersect_wavefront
+    ref, wovf = intersect_wavefront(bvh8, rays, cap_factor=6)
+    agree = float(np.mean(np.asarray(hp) == np.asarray(ref.prim)))
+    print("prim agree vs wavefront:", agree,
+          "wf ovf:", bool(np.asarray(wovf)), flush=True)
+
+
+if __name__ == "__main__":
+    main(K=int(sys.argv[1]) if len(sys.argv) > 1 else 256)

@@ -49,7 +49,7 @@ def test_direct_light_visible():
     bvh8, scene = _setup()
     # ray straight up at the light → sees emission directly
     r = make_rays([[1.0, 1.0, 1.0]], [[0.0, 1.0, 0.0]])
-    rad = trace_paths(bvh8, scene, r, jax.random.PRNGKey(0), bounces=1)
+    rad, _ = trace_paths(bvh8, scene, r, jax.random.PRNGKey(0), bounces=1)
     assert float(rad[0].sum()) >= 8.0 * 3 - 1e-3
 
 
@@ -66,7 +66,7 @@ def test_indirect_illumination_positive_and_finite():
     key = jax.random.PRNGKey(1)
     for s in range(8):
         key, k = jax.random.split(key)
-        rad += np.asarray(trace_paths(bvh8, scene, rays, k, bounces=3))
+        rad += np.asarray(trace_paths(bvh8, scene, rays, k, bounces=3)[0])
     rad /= 8
     assert np.isfinite(rad).all()
     assert rad.mean() > 0.01  # the box is lit
@@ -84,7 +84,7 @@ def test_color_bleeding():
     key = jax.random.PRNGKey(2)
     for s in range(16):
         key, k = jax.random.split(key)
-        acc += np.asarray(trace_paths(bvh8, scene, rays, k, bounces=2))
+        acc += np.asarray(trace_paths(bvh8, scene, rays, k, bounces=2)[0])
     mean = acc.mean(axis=0) / 16
     assert mean[0] > mean[1] * 1.5  # red wall dominates
 
@@ -100,9 +100,9 @@ def test_occlusion_darkens():
     for s in range(32):
         key, k1, k2 = jax.random.split(key, 3)
         acc_m += float(np.asarray(
-            trace_paths(bvh8, scene, r_mid, k1, bounces=1)).sum())
+            trace_paths(bvh8, scene, r_mid, k1, bounces=1)[0]).sum())
         acc_c += float(np.asarray(
-            trace_paths(bvh8, scene, r_corner, k2, bounces=1)).sum())
+            trace_paths(bvh8, scene, r_corner, k2, bounces=1)[0]).sum())
     assert acc_m > acc_c  # floor under the light is brighter
 
 
@@ -140,11 +140,73 @@ def test_smooth_vertex_normals_change_shading():
                   np.zeros(R)], -1).astype(np.float32)
     rays = tb.make_rays(o, np.tile([[0, -1, 0]], (R, 1)).astype(np.float32))
     key = jax.random.PRNGKey(0)
-    r_flat = np.asarray(trace_paths(bvh.bvh8, base, rays, key, bounces=1))
+    r_flat = np.asarray(trace_paths(bvh.bvh8, base, rays, key, bounces=1)[0])
     r_smooth = np.asarray(trace_paths(bvh.bvh8, smooth, rays, key,
-                                      bounces=1))
+                                      bounces=1)[0])
     assert np.isfinite(r_flat).all() and np.isfinite(r_smooth).all()
     lit = r_flat.sum(axis=1) > 1e-4
     assert lit.any()
     # same key -> same light sample; only the cosine term changed
     assert np.abs(r_flat[lit] - r_smooth[lit]).max() > 1e-4
+
+
+def test_mis_matches_brute_force_on_area_light():
+    """MIS-weighted NEE and the plain path integral are two estimators of
+    the same integral: their means must agree on a scene with a LARGE
+    nearby light (where naive NEE-only or emission-only estimators
+    diverge most). Pins the 1/(lightPDF+brdfPDF)-style weights
+    (≙ wavefront.cl:166-240)."""
+    bvh8, scene = _setup()
+    n = 512
+    rng = np.random.default_rng(11)
+    o = np.tile(np.array([[1.0, 0.5, 1.0]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    acc_mis = np.zeros(3, np.float64)
+    acc_bf = np.zeros(3, np.float64)
+    key = jax.random.PRNGKey(7)
+    spp = 48
+    for _ in range(spp):
+        key, k1, k2 = jax.random.split(key, 3)
+        # NEE extends each path by one connection segment, so MIS with B
+        # bounces covers paths of length B+1 — match the brute-force
+        # estimator's horizon with B+1 bounces
+        acc_mis += np.asarray(
+            trace_paths(bvh8, scene, rays, k1, bounces=2)[0]).mean(0)
+        acc_bf += np.asarray(
+            trace_paths(bvh8, scene, rays, k2, bounces=3,
+                        brute_force=True)[0]).mean(0)
+    mis = acc_mis / spp
+    bf = acc_bf / spp
+    assert mis.sum() > 0.01
+    # brute force is noisy: generous but real tolerance
+    np.testing.assert_allclose(mis.sum(), bf.sum(), rtol=0.15)
+
+
+def test_specular_mirror_reflects_light_deterministically():
+    """A mirror floor under a ceiling light: camera ray reflects off the
+    mirror straight into the light; radiance = mirror_albedo * emission
+    with NO noise (delta path, emission weight 1 on specular vertices)."""
+    floor = np.array([
+        [[-2, 0, -2], [2, 0, -2], [2, 0, 2]],
+        [[-2, 0, -2], [2, 0, 2], [-2, 0, 2]],
+    ], np.float32)
+    light = (floor[:, ::-1] + np.array([0, 4, 0], np.float32))
+    tris = np.concatenate([floor, light])
+    albedo = np.array([[0.9, 0.8, 0.7]] * 2 + [[0, 0, 0]] * 2, np.float32)
+    emissive = np.zeros((4, 3), np.float32)
+    emissive[2:] = 5.0
+    specular = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+    from tinybvh_tpu.builders.binned import build_binned
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    scene = make_scene_arrays(tris, albedo, emissive, specular=specular)
+    # straight down at the mirror from just below the light plane
+    r = make_rays([[0.3, 2.0, 0.3]], [[0.0, -1.0, 0.0]])
+    rad1, _ = trace_paths(bvh8, scene, r, jax.random.PRNGKey(0), bounces=2)
+    rad2, _ = trace_paths(bvh8, scene, r, jax.random.PRNGKey(9), bounces=2)
+    want = albedo[0] * 5.0
+    np.testing.assert_allclose(np.asarray(rad1)[0], want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rad2)[0], want, rtol=1e-5)

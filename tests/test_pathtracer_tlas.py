@@ -33,7 +33,7 @@ def _scene():
 def test_tlas_pt_direct_light():
     tlas, alb, emi, lt, le = _scene()
     r = make_rays([[1.0, 1.0, 1.0]], [[0.0, 1.0, 0.0]])
-    rad = trace_paths_tlas(tlas, alb, emi, lt, le, r,
+    rad, _ = trace_paths_tlas(tlas, alb, emi, lt, le, r,
                            jax.random.PRNGKey(0), bounces=1)
     assert float(np.asarray(rad)[0].sum()) >= 8.0 * 3 - 1e-3
 
@@ -52,7 +52,7 @@ def test_tlas_pt_lit_interior():
     for _ in range(6):
         key, k = jax.random.split(key)
         acc += np.asarray(trace_paths_tlas(tlas, alb, emi, lt, le, rays, k,
-                                           bounces=3))
+                                           bounces=3)[0])
     acc /= 6
     assert np.isfinite(acc).all()
     assert 0.005 < acc.mean() < 8.0
@@ -103,11 +103,11 @@ def test_tlas_textured_albedo_scales_radiance():
     rad_white = np.asarray(trace_paths_tlas(
         tlas, inst_albedo, inst_emissive, jnp.asarray(light),
         jnp.asarray(inst_emissive[1])[None].repeat(2, 0), rays, key,
-        bounces=1))
+        bounces=1)[0])
     rad_grey = np.asarray(trace_paths_tlas(
         tlas, inst_albedo, inst_emissive, jnp.asarray(light),
         jnp.asarray(inst_emissive[1])[None].repeat(2, 0), rays, key,
-        bounces=1, leaf_uvs=leaf_uvs, leaf_tex=leaf_tex_g, tex=grey))
+        bounces=1, leaf_uvs=leaf_uvs, leaf_tex=leaf_tex_g, tex=grey)[0])
     lit = rad_white.sum(axis=1) > 1e-4
     assert lit.any()
     np.testing.assert_allclose(rad_grey[lit], 0.5 * rad_white[lit],

@@ -195,9 +195,10 @@ def test_scene_shading_tables_feed_textured_tracer():
     key = jax.random.PRNGKey(5)
     args = (sc.tlas, inst_albedo, inst_emissive, jnp.asarray(light),
             jnp.asarray(inst_emissive[1])[None].repeat(2, 0), rays, key)
-    rad_white = np.asarray(trace_paths_tlas(*args, bounces=1))
+    rad_white = np.asarray(trace_paths_tlas(*args, bounces=1)[0])
     rad_grey = np.asarray(trace_paths_tlas(
-        *args, bounces=1, leaf_uvs=leaf_uvs, leaf_tex=leaf_tex, tex=atlas))
+        *args, bounces=1, leaf_uvs=leaf_uvs, leaf_tex=leaf_tex,
+        tex=atlas)[0])
     lit = rad_white.sum(axis=1) > 1e-4
     assert lit.any()
     np.testing.assert_allclose(rad_grey[lit], 0.5 * rad_white[lit],

@@ -76,7 +76,7 @@ def test_pathtracer_textured_sky():
     d = np.tile([[0, -1, 0]], (R, 1)).astype(np.float32)
     rays = tb.make_rays(o, d)
     rad = np.asarray(trace_paths(bvh.bvh8, scene, rays,
-                                 jax.random.PRNGKey(0), bounces=2))
+                                 jax.random.PRNGKey(0), bounces=2)[0])
     # every sample: hit floor (throughput 1*0.5), bounce up, sample sky=1
     np.testing.assert_allclose(rad, 0.5, atol=1e-3)
 
@@ -84,5 +84,5 @@ def test_pathtracer_textured_sky():
     o2 = o + np.array([0, 0, 5], np.float32)
     rays2 = tb.make_rays(o2, d)
     rad2 = np.asarray(trace_paths(bvh.bvh8, scene, rays2,
-                                  jax.random.PRNGKey(0), bounces=2))
+                                  jax.random.PRNGKey(0), bounces=2)[0])
     np.testing.assert_allclose(rad2, 1.0, atol=1e-3)

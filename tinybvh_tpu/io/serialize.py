@@ -107,10 +107,22 @@ def geometry_hash(tris) -> str:
 
 def cached_build(tris, builder, cache_dir: str = "./cache", suffix: str = ""):
     """Load-or-build-then-save (≙ the per-mesh ./cache/<file>.bvh pattern,
-    tiny_scene.h:2035-2113)."""
+    tiny_scene.h:2035-2113). The cache key hashes the geometry AND the
+    builder's identity (module.qualname + repr of any functools.partial
+    args), so the same mesh built with different builders or parameters
+    never aliases; `suffix` remains for extra caller-side discrimination."""
     os.makedirs(cache_dir, exist_ok=True)
     key = geometry_hash(tris)
-    path = os.path.join(cache_dir, f"{key}{suffix}.npz")
+    import functools
+
+    b = builder
+    params = ""
+    if isinstance(b, functools.partial):
+        params = repr((b.args, sorted(b.keywords.items())))
+        b = b.func
+    ident = f"{getattr(b, '__module__', '')}.{getattr(b, '__qualname__', repr(b))}{params}"
+    bkey = hashlib.sha1(ident.encode()).hexdigest()[:8]
+    path = os.path.join(cache_dir, f"{key}-{bkey}{suffix}.npz")
     if os.path.exists(path):
         got = load_bvh(path)
         if got is not None:

@@ -8,12 +8,20 @@ are alive-masks (ray compaction is a planned optimization), atomics are
 gone, and the RNG is jax.random (threefry) instead of xor32.
 
 Shading model (parity with wavefront.cl's Shade kernel):
-  * Lambertian BRDF with per-triangle albedo
+  * Lambertian BRDF with per-triangle albedo + perfect-mirror specular
+    materials (~ MATERIAL_SPECULAR handling, wavefront.cl:166-240)
   * emissive triangles as lights
   * next-event estimation toward one sampled light triangle per bounce
-    (solid-angle PDF as in wavefront.cl:200-240); emission is counted
-    directly only on camera/first vertices so NEE never double-counts
+    with multiple importance sampling: NEE contributions carry
+    lightPDF/(lightPDF+brdfPDF) and BRDF hits on lights carry
+    brdfPDF/(brdfPDF+lightPDF), so large/near lights and glossy paths are
+    both unbiased and low-variance (~ the 1/(pdf sums) weights in
+    wavefront.cl's Shade/Connect stages)
   * cosine-weighted bounce sampling
+
+Traversal overflow (wavefront frontier cap) is OR-reduced across bounces
+and returned next to the radiance so callers can detect truncated frames
+and retry with a larger cap_factor.
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ from tinybvh_tpu.traverse.wavefront import (
 
 
 def make_scene_arrays(tris, albedo=None, emissive=None, uvs=None,
-                      tex_id=None, textures=None, sky=None):
+                      tex_id=None, textures=None, sky=None, specular=None):
     """Build shading arrays: per-triangle albedo (N, 3) and emission (N, 3).
 
     Light triangles = any with emission > 0 (≙ tiny_scene's TriLight
@@ -43,6 +51,8 @@ def make_scene_arrays(tris, albedo=None, emissive=None, uvs=None,
     `tex_id` (N,) int texture index per triangle (-1 = untextured),
     `textures` a list of (H, W, 3) images packed into one atlas. Optional
     `sky` (H, W, 3) equirect environment sampled on ray miss (≙ SkyDome).
+    Optional `specular` (N,) floats: triangles with specular > 0.5 shade as
+    perfect mirrors (≙ MATERIAL_SPECULAR, wavefront.cl:166-240).
     """
     n = tris.shape[0]
     if albedo is None:
@@ -63,6 +73,8 @@ def make_scene_arrays(tris, albedo=None, emissive=None, uvs=None,
         emissive=emissive,
         light_ids=jnp.asarray(light_ids),
     )
+    if specular is not None:
+        scene["specular"] = jnp.asarray(specular, jnp.float32)
     if textures is not None:
         from tinybvh_tpu.render.textures import build_atlas
 
@@ -93,10 +105,20 @@ def _tri_geom(tris, prim):
     return v0, e1, e2, n, area
 
 
-@partial(jax.jit, static_argnames=("bounces",))
-def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
-    """Trace one sample per ray through `bounces` bounces; returns (R, 3)
-    radiance. Fully jitted; call repeatedly with fresh keys to accumulate."""
+@partial(jax.jit, static_argnames=("bounces", "cap_factor", "brute_force"))
+def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
+                cap_factor: int = 4, brute_force: bool = False):
+    """Trace one sample per ray through `bounces` bounces; returns
+    ((R, 3) radiance, overflow flag). Fully jitted; call repeatedly with
+    fresh keys to accumulate. The overflow flag ORs every traversal's
+    frontier-overflow across bounces — True means some paths were
+    truncated and the caller should retry with a larger cap_factor.
+
+    brute_force=True disables NEE/MIS and counts emission with weight 1 on
+    every hit — the plain path-integral estimator. Same expectation, much
+    higher variance; used by tests to pin the MIS weighting (≙ the
+    validation idea of the reference's speedtest: two estimators, one
+    answer)."""
     R = rays.o.shape[0]
     tris = scene["tris"]
     albedo = scene["albedo"]
@@ -109,12 +131,18 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
     alive = jnp.ones(R, bool)
     o, d = rays.o, rays.d
     rd = rays.rd
-    last_spec = jnp.ones(R, bool)  # first hit: count emission fully
+    # MIS state: pdf (solid angle) of the BRDF sample that spawned this
+    # ray; last_spec marks delta (mirror/camera) vertices where the light-
+    # sampling strategy has zero probability -> emission weight 1
+    last_spec = jnp.ones(R, bool)
+    prev_pdf = jnp.ones(R, jnp.float32)
+    any_overflow = jnp.zeros((), bool)
 
     for bounce in range(bounces):
         key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
         cur = Rays(o=o, d=d, rd=rd, mask=rays.mask)
-        hits, _ = intersect_wavefront(bvh8, cur)
+        hits, ovf = intersect_wavefront(bvh8, cur, cap_factor=cap_factor)
+        any_overflow = any_overflow | ovf
         hit_ok = alive & (hits.prim >= 0)
 
         # environment on miss (≙ raytracer.cl skydome lookup)
@@ -127,7 +155,8 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
             )
 
         prim = jnp.maximum(hits.prim, 0)
-        v0, e1, e2, n, _ = _tri_geom(tris, prim)
+        v0, e1, e2, ng, harea = _tri_geom(tris, prim)
+        n = ng
         if "normals" in scene:
             # smooth shading: barycentric-interpolated vertex normals
             vn = scene["normals"][prim]  # (R, 3, 3)
@@ -140,12 +169,21 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
         )
         p = o + hits.t[:, None] * d
 
-        # direct emission (MIS-weighted: only on first/specular vertices to
-        # avoid double counting with NEE — wavefront.cl:186-199)
+        # --- direct emission with MIS weight ------------------------------
+        # brdfPDF/(brdfPDF + lightPDF) for diffuse-sampled rays, 1 for
+        # camera/specular rays (≙ wavefront.cl's MIS of Shade + Connect)
         emit = emissive[prim]
+        is_emitter = jnp.sum(emit, axis=-1) > 0
+        dist2_h = hits.t * hits.t
+        cos_lh = jnp.abs(jnp.sum(ng * d, axis=-1))
+        pl_hit = dist2_h / jnp.maximum(cos_lh * harea * n_lights, 1e-9)
+        w_emit = jnp.where(
+            last_spec, 1.0, prev_pdf / jnp.maximum(prev_pdf + pl_hit, 1e-9))
+        if brute_force:
+            w_emit = jnp.ones_like(w_emit)
         radiance = radiance + jnp.where(
-            (hit_ok & last_spec)[:, None], throughput * emit, 0.0
-        )
+            (hit_ok & is_emitter)[:, None],
+            throughput * emit * w_emit[:, None], 0.0)
 
         mat_albedo = albedo[prim]
         if "tex" in scene:
@@ -157,6 +195,13 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
                   + hits.v[:, None] * tuv[:, 2])
             mat_albedo = mat_albedo * sample_atlas(
                 scene["tex"], scene["tex_id"][prim], uv)
+
+        # specular (perfect mirror) vertices skip NEE and bounce by
+        # reflection (≙ MATERIAL_SPECULAR, wavefront.cl:166-240)
+        if "specular" in scene:
+            is_spec = hit_ok & (scene["specular"][prim] > 0.5)
+        else:
+            is_spec = jnp.zeros(R, bool)
 
         # --- next-event estimation (Connect, wavefront.cl:200-240) -------
         li = light_ids[jax.random.randint(k1, (R,), 0, n_lights)]
@@ -174,51 +219,64 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3):
         cos_l = jnp.sum(ln * -wi, axis=-1)
         cos_l = jnp.abs(cos_l)
         l_emit = emissive[li]
-        nee_valid = hit_ok & (cos_s > 0) & (
+        nee_valid = hit_ok & ~is_spec & (cos_s > 0) & (
             jnp.sum(l_emit, axis=-1) > 0
         )
+        if brute_force:
+            nee_valid = jnp.zeros_like(nee_valid)
         srays = make_rays(p + n * 1e-4, wi * dist[:, None])
-        occluded = is_occluded_wavefront(bvh8, srays, 1.0 - 1e-3)
-        # pdf of sampling that point on that light (area measure → solid angle)
-        pdf = dist2 / jnp.maximum(cos_l * larea * n_lights, 1e-9)
+        _, occluded, ovf_s = intersect_wavefront(
+            bvh8, srays, 1.0 - 1e-3, cap_factor=cap_factor, any_hit=True)
+        any_overflow = any_overflow | ovf_s
+        # pdf of sampling that point on that light (area → solid angle)
+        pdf_l = dist2 / jnp.maximum(cos_l * larea * n_lights, 1e-9)
+        pdf_b = jnp.maximum(cos_s, 0.0) / jnp.pi   # cosine-hemisphere pdf
+        w_nee = pdf_l / jnp.maximum(pdf_l + pdf_b, 1e-9)
         contrib = (
             throughput
             * mat_albedo / jnp.pi
             * l_emit
-            * (cos_s / jnp.maximum(pdf, 1e-9))[:, None]
+            * (cos_s * w_nee / jnp.maximum(pdf_l, 1e-9))[:, None]
         )
         radiance = radiance + jnp.where(
             (nee_valid & ~occluded)[:, None], contrib, 0.0
         )
 
-        # --- bounce (cosine-weighted) ------------------------------------
+        # --- bounce: cosine-weighted diffuse or mirror reflection ---------
         r3 = jax.random.uniform(k4, (R,))
         r4 = jax.random.uniform(k5, (R,))
-        nd = cosine_hemisphere(n, r3, r4)
-        # cosine-weighted pdf cancels cos/π: throughput *= albedo
+        nd = normalize(cosine_hemisphere(n, r3, r4))
+        refl = normalize(d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n)
+        new_d = jnp.where(is_spec[:, None], refl, nd)
+        # cosine-weighted pdf cancels cos/π for diffuse; mirror is delta
         throughput = throughput * mat_albedo
         alive = hit_ok & (jnp.max(throughput, axis=-1) > 1e-3)
         o = p + n * 1e-4
-        d = normalize(nd)
+        d = new_d
         from tinybvh_tpu.core.vecmath import safe_rcp
 
         rd = safe_rcp(d)
-        last_spec = jnp.zeros(R, bool)  # NEE now handles direct light
+        prev_pdf = jnp.maximum(jnp.sum(nd * n, axis=-1), 1e-6) / jnp.pi
+        last_spec = is_spec
 
-    return radiance
+    return radiance, any_overflow
 
 
 def render(bvh8, scene, eye, fwd, right, up, width, height, spp=4,
-           bounces=3, seed=0):
-    """Accumulate spp samples; returns (H, W, 3) float image."""
+           bounces=3, seed=0, cap_factor: int = 4):
+    """Accumulate spp samples; returns ((H, W, 3) float image, overflow)."""
     from tinybvh_tpu.render.camera import primary_rays
 
     key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((width * height, 3), jnp.float32)
+    ovf = jnp.zeros((), bool)
     for s in range(spp):
         key, kj, kt = jax.random.split(key, 3)
         jit_ = jax.random.uniform(kj, (height, width, 2))
         rays = primary_rays(eye, fwd, right, up, width, height, jitter=jit_)
-        acc = acc + trace_paths(bvh8, scene, rays, kt, bounces=bounces)
+        rad, o1 = trace_paths(bvh8, scene, rays, kt, bounces=bounces,
+                              cap_factor=cap_factor)
+        acc = acc + rad
+        ovf = ovf | o1
     img = (acc / spp).reshape(height, width, 3)
-    return img
+    return img, ovf

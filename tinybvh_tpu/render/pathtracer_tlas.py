@@ -32,8 +32,14 @@ from tinybvh_tpu.tlas.instance import TLAS8, intersect_tlas_wavefront
 def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
                      light_emission, rays: Rays, key, bounces: int = 3,
                      cap_factor: int = 4, leaf_uvs=None, leaf_tex=None,
-                     tex=None):
-    """One sample per ray over an instanced scene → (R, 3) radiance.
+                     tex=None, inst_specular=None):
+    """One sample per ray over an instanced scene → ((R, 3) radiance,
+    overflow flag). The flag ORs every traversal's frontier overflow —
+    True means truncated paths; retry with a larger cap_factor.
+
+    NEE + MIS weighting and mirror materials mirror render/pathtracer.py
+    (≙ wavefront2.cl's Shade/Connect). inst_specular: optional (I,) floats,
+    instances with specular > 0.5 shade as perfect mirrors.
 
     Optional texture mapping (≙ the textured materials of the reference's
     full GPU renderer, raytracer.cl): leaf_uvs (L, 4, 3, 2) and leaf_tex
@@ -52,13 +58,16 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
     throughput = jnp.ones((R, 3), jnp.float32)
     alive = jnp.ones(R, bool)
     o, d, rd = rays.o, rays.d, rays.rd
-    count_emission = jnp.ones(R, bool)  # only on camera vertices
+    last_spec = jnp.ones(R, bool)  # camera/mirror vertices: weight 1
+    prev_pdf = jnp.ones(R, jnp.float32)
+    any_overflow = jnp.zeros((), bool)
 
     for _b in range(bounces):
         key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
         cur = Rays(o=o, d=d, rd=rd, mask=rays.mask)
-        hits, win, _ = intersect_tlas_wavefront(
+        hits, win, ovf = intersect_tlas_wavefront(
             tlas, cur, cap_factor=cap_factor, return_winner=True)
+        any_overflow = any_overflow | ovf
         hit_ok = alive & (hits.prim >= 0)
         inst = jnp.maximum(hits.inst, 0)
 
@@ -69,13 +78,32 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
         _, te1, te2 = tri_edges(tri)
         n_l = jnp.cross(te1, te2)
         inv = tlas.inst_inv[jnp.clip(inst, 0, tlas.inst_inv.shape[0] - 1)]
-        n = normalize(jnp.einsum("rji,rj->ri", inv[:, :3, :3], n_l))
+        n_w = jnp.einsum("rji,rj->ri", inv[:, :3, :3], n_l)
+        n = normalize(n_w)
         n = jnp.where((jnp.sum(n * d, axis=-1) > 0)[:, None], -n, n)
         p = o + hits.t[:, None] * d
 
+        # --- direct emission with MIS weight ------------------------------
+        # world-space area of the hit triangle from the inverse transform:
+        # |cross(M e1, M e2)| = |inv3^T (e1 x e2)| / |det(inv3)|
         emit = inst_emissive[inst]
+        is_emitter = jnp.sum(emit, axis=-1) > 0
+        i3 = inv[:, :3, :3]
+        det_inv = (
+            i3[:, 0, 0] * (i3[:, 1, 1] * i3[:, 2, 2] - i3[:, 1, 2] * i3[:, 2, 1])
+            - i3[:, 0, 1] * (i3[:, 1, 0] * i3[:, 2, 2] - i3[:, 1, 2] * i3[:, 2, 0])
+            + i3[:, 0, 2] * (i3[:, 1, 0] * i3[:, 2, 1] - i3[:, 1, 1] * i3[:, 2, 0])
+        )
+        harea = 0.5 * jnp.linalg.norm(n_w, axis=-1) / jnp.maximum(
+            jnp.abs(det_inv), 1e-12)
+        cos_lh = jnp.abs(jnp.sum(n * d, axis=-1))
+        pl_hit = hits.t * hits.t / jnp.maximum(
+            cos_lh * harea * n_lights, 1e-9)
+        w_emit = jnp.where(
+            last_spec, 1.0, prev_pdf / jnp.maximum(prev_pdf + pl_hit, 1e-9))
         radiance = radiance + jnp.where(
-            (hit_ok & count_emission)[:, None], throughput * emit, 0.0)
+            (hit_ok & is_emitter)[:, None],
+            throughput * emit * w_emit[:, None], 0.0)
 
         mat_albedo = inst_albedo[inst]
         if leaf_uvs is not None:
@@ -86,6 +114,11 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
             uv = (w0 * tuv[:, 0] + hits.u[:, None] * tuv[:, 1]
                   + hits.v[:, None] * tuv[:, 2])
             mat_albedo = mat_albedo * sample_atlas(tex, leaf_tex[wl, wk], uv)
+
+        if inst_specular is not None:
+            is_spec = hit_ok & (inst_specular[inst] > 0.5)
+        else:
+            is_spec = jnp.zeros(R, bool)
 
         # --- NEE toward a sampled world-space light -----------------------
         li = jax.random.randint(k1, (R,), 0, n_lights)
@@ -99,25 +132,31 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
         wi = wi / dist[:, None]
         cos_s = jnp.sum(n * wi, axis=-1)
         cos_l = jnp.abs(jnp.sum(lnv[li] * -wi, axis=-1))
-        nee_valid = hit_ok & (cos_s > 0)
+        nee_valid = hit_ok & ~is_spec & (cos_s > 0)
         srays = make_rays(p + n * 1e-4, wi * dist[:, None])
-        _, occ, _ = intersect_tlas_wavefront(
+        _, occ, ovf_s = intersect_tlas_wavefront(
             tlas, srays, 1.0 - 1e-3, cap_factor=cap_factor, any_hit=True)
-        pdf = dist2 / jnp.maximum(cos_l * larea[li] * n_lights, 1e-9)
+        any_overflow = any_overflow | ovf_s
+        pdf_l = dist2 / jnp.maximum(cos_l * larea[li] * n_lights, 1e-9)
+        pdf_b = jnp.maximum(cos_s, 0.0) / jnp.pi
+        w_nee = pdf_l / jnp.maximum(pdf_l + pdf_b, 1e-9)
         contrib = (throughput * mat_albedo / jnp.pi * light_emission[li]
-                   * (cos_s / jnp.maximum(pdf, 1e-9))[:, None])
+                   * (cos_s * w_nee / jnp.maximum(pdf_l, 1e-9))[:, None])
         radiance = radiance + jnp.where(
             (nee_valid & ~occ)[:, None], contrib, 0.0)
 
-        # --- cosine-weighted bounce ---------------------------------------
+        # --- bounce: cosine-weighted diffuse or mirror reflection ---------
         r3 = jax.random.uniform(k4, (R,))
         r4 = jax.random.uniform(k5, (R,))
-        nd = cosine_hemisphere(n, r3, r4)
+        nd = normalize(cosine_hemisphere(n, r3, r4))
+        refl = normalize(d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n)
+        new_d = jnp.where(is_spec[:, None], refl, nd)
         throughput = throughput * mat_albedo
         alive = hit_ok & (jnp.max(throughput, axis=-1) > 1e-3)
         o = p + n * 1e-4
-        d = normalize(nd)
+        d = new_d
         rd = safe_rcp(d)
-        count_emission = jnp.zeros(R, bool)
+        prev_pdf = jnp.maximum(jnp.sum(nd * n, axis=-1), 1e-6) / jnp.pi
+        last_spec = is_spec
 
-    return radiance
+    return radiance, any_overflow

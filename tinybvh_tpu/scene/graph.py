@@ -9,9 +9,9 @@ deformation) → TLAS rebuild — the reference's per-frame orchestrator
 (UpdateSceneGraph, tiny_scene.h:3664-3697).
 
 BVH build policy mirrors the reference's enum (tiny_scene.h:106-110):
-  'dynamic' → fast rebuild each frame when geometry deforms (LBVH)
-  'rigid'   → high-quality build once, refit on deformation (binned SAH)
-  'static'  → high-quality build once, never updated
+  'dynamic' → binned-SAH rebuild on every deforming frame
+  'rigid'   → build once, refit + re-collapse on deformation
+  'static'  → build once, never updated (even if the mesh deforms)
 """
 
 from __future__ import annotations
@@ -358,9 +358,10 @@ class Scene:
 
         mesh = self.meshes[mid]
         policy = self.bvh_policy.get(mid, self.default_policy)
-        if mid not in self._blas or policy == "dynamic" or (
-            deformed and policy != "rigid"
-        ):
+        # dynamic: rebuild whenever deformed; rigid: refit; static: built
+        # once and never updated even if the mesh deforms (matches the
+        # documented BVH_STATIC semantics, tiny_scene.h:106-110)
+        if mid not in self._blas or (deformed and policy == "dynamic"):
             bvh2 = build_binned(mesh.tris, max_leaf=4)
             self._blas[mid] = collapse_bvh2(bvh2, mesh.tris)
             self._blas_meta = getattr(self, "_blas_meta", {})

@@ -36,7 +36,9 @@ from tinybvh_tpu.core.rays import Hits, Rays
 from tinybvh_tpu.core.vecmath import BVH_FAR, mat4_inverse, transform_aabb
 from tinybvh_tpu.layouts.mbvh import BVH8, EMPTY_SLOT
 
-STACK_DEPTH = 64
+# two-level descent pushes at most one node per level per BVH; 130 covers
+# the builder's 128-level depth bound (see traverse/stack.py)
+STACK_DEPTH = 130
 _EMPTY = jnp.int32(-(2**31) + 1)
 
 
@@ -524,6 +526,9 @@ def intersect_tlas_wavefront(
         )
 
     s = lax.while_loop(cond, body, state)
+    # stopping at MAX_LEVELS with pairs pending is silent truncation
+    s["overflow"] = s["overflow"] | (
+        (s["n_pairs"] > 0) & (s["level"] >= MAX_LEVELS))
     win = s["win"]
     ok = win != _I32MAX
     wl = jnp.where(ok, win >> 2, 0)

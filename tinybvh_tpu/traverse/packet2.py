@@ -68,12 +68,18 @@ class PacketAux:
 
     leaf_lo: jnp.ndarray   # (3, Lpad) f32 leaf AABB lows  (+FAR padding)
     leaf_hi: jnp.ndarray   # (3, Lpad) f32 leaf AABB highs (-FAR padding)
+    blk_lo: jnp.ndarray    # (3, NBpad) f32 union boxes of 128-leaf blocks
+    blk_hi: jnp.ndarray    # (3, NBpad) f32
     gtab: jnp.ndarray      # (L, 4, 48) f32 per-tri [G_det|G_u|G_v|G_t] rows
     center: jnp.ndarray    # (3,) f32 scene center subtracted from gtab
 
     @property
     def n_leaves(self):
         return self.gtab.shape[0]
+
+    @property
+    def n_blocks(self):
+        return self.leaf_lo.shape[1] // LANES
 
 
 @jax.jit
@@ -109,7 +115,19 @@ def build_packet_aux(bvh8: BVH8) -> PacketAux:
     tri_ok = (bvh8.leaf_prim >= 0)[..., None]
     gtab = jnp.where(tri_ok, jnp.concatenate(
         [g_det, g_u, g_v, g_t], axis=-1), 0.0)                      # (L,4,48)
-    return PacketAux(leaf_lo=lo_p.T, leaf_hi=hi_p.T, gtab=gtab,
+
+    # coarse level: union AABB per 128-leaf block (the two-level cull's
+    # upper tier; blocks are BFS-emission-ordered, so unions stay tight)
+    nb = lpad // LANES
+    blo = lo_p.reshape(nb, LANES, 3).min(axis=1)
+    bhi = hi_p.reshape(nb, LANES, 3).max(axis=1)
+    nbpad = -(-nb // LANES) * LANES
+    blo = jnp.concatenate(
+        [blo, jnp.full((nbpad - nb, 3), BVH_FAR)], axis=0)
+    bhi = jnp.concatenate(
+        [bhi, jnp.full((nbpad - nb, 3), -BVH_FAR)], axis=0)
+    return PacketAux(leaf_lo=lo_p.T, leaf_hi=hi_p.T,
+                     blk_lo=blo.T, blk_hi=bhi.T, gtab=gtab,
                      center=center)
 
 
@@ -117,27 +135,90 @@ def build_packet_aux(bvh8: BVH8) -> PacketAux:
 # K1: dense frustum cull + butterfly compaction
 # --------------------------------------------------------------------------
 
-def _cull_kernel(posn_ref, negn_ref, thr_ref, olo_ref, ohi_ref,
-                 llo_ref, lhi_ref, keys_ref, cnt_ref, *, n_leaves, k_cap):
-    nb = llo_ref.shape[1] // LANES
+def _compact_left(vals, lanes2):
+    """Butterfly (deficit) compaction of a (1, 2*LANES) lane vector: all
+    non-I32MAX entries move to the leftmost lanes (order scrambled is fine
+    — the caller sorts). LSB-first passes over monotone deficits; validated
+    exhaustively against numpy in tests."""
+    n = vals.shape[1]
+    m = vals != _I32MAX
+    mi = m.astype(jnp.int32)
+    r = mi
+    sh = 1
+    while sh < n:
+        r = r + jnp.where(lanes2 >= sh, pltpu.roll(r, sh, axis=1), 0)
+        sh *= 2
+    r = r - mi                           # exclusive rank
+    deficit = jnp.where(m, lanes2 - r, 0)
+    b = 1
+    while b < n:
+        ak = pltpu.roll(vals, n - b, axis=1)
+        ad = pltpu.roll(deficit, n - b, axis=1)
+        take = (lanes2 < n - b) & ((ad & b) != 0) & (ak != _I32MAX)
+        vals = jnp.where(take, ak, vals)
+        deficit = jnp.where(take, ad - b, deficit)
+        b *= 2
+    return vals
+
+
+def _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi):
+    """(TB, 128) in-frustum mask of 128 AABBs vs TB tiles' planes.
+
+    Broadcast VPU arithmetic, not (8,3)@(3,128) dots: tiny matmuls are
+    MXU-latency-bound and serialize (measured: they alone ate the kernel
+    budget); (8,1)x(1,128) broadcasts pipeline freely."""
+    outside = jnp.zeros((TB, LANES), jnp.bool_)
+    for p in range(4):
+        dist = -thr_ref[:, p:p + 1]                 # (TB, 1)
+        for k in range(3):
+            dist = (dist
+                    + posn_ref[:, p, k:k + 1] * hi[k:k + 1, :]
+                    + negn_ref[:, p, k:k + 1] * lo[k:k + 1, :])
+        outside = outside | (dist < 0.0)
+    return jnp.logical_not(outside)
+
+
+def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
+                        mask_ref, *, n_blocks):
+    """K1a: coarse tier — which 128-leaf blocks' union boxes intersect ANY
+    of the group's TB tile frusta. Pure vector math, no branches."""
+    nbl = blo_ref.shape[1] // LANES
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    for j in range(nbl):
+        lo = blo_ref[:, j * LANES:(j + 1) * LANES]
+        hi = bhi_ref[:, j * LANES:(j + 1) * LANES]
+        ok = _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi)
+        ok = ok & ((j * LANES + lanes) < n_blocks)
+        mask_ref[0, j * LANES:(j + 1) * LANES] = jnp.any(
+            ok, axis=0, keepdims=True).astype(jnp.int32)[0]
+
+
+def _cull_kernel(wl_ref, posn_ref, negn_ref, thr_ref, olo_ref, ohi_ref,
+                 llo_ref, lhi_ref, keys_ref, cnt_ref, conc_ref, *,
+                 n_leaves, k_cap, max_blocks):
+    """K1b: fine tier — walk this group's surviving-block worklist (SMEM,
+    cheap scalar reads), frustum-test the 128 leaves of each block, and
+    merge each tile's surviving (lb|leaf) keys into its output list with a
+    butterfly compaction. The partially-filled tail block lives in
+    keys_ref itself (read back, merge 256 lanes, write 256 lanes at a
+    128-aligned offset — Mosaic requires statically aligned lane offsets),
+    so there are no flush branches."""
+    lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lanes2 = lax.broadcasted_iota(jnp.int32, (1, 2 * LANES), 1)
+    cap_blk = k_cap // LANES
 
     keys_ref[:, :] = jnp.full(keys_ref.shape, _I32MAX, jnp.int32)
 
-    def blk_body(blk, cursors):
-        lo = llo_ref[:, pl.ds(blk * LANES, LANES)]      # (3, 128)
-        hi = lhi_ref[:, pl.ds(blk * LANES, LANES)]
-        outside = jnp.zeros((TB, LANES), jnp.bool_)
-        for p in range(4):
-            pn = posn_ref[:, p, :]                      # (TB, 3)
-            nn = negn_ref[:, p, :]
-            dist = (jnp.dot(pn, hi, preferred_element_type=jnp.float32)
-                    + jnp.dot(nn, lo, preferred_element_type=jnp.float32))
-            outside = outside | (dist < thr_ref[:, p:p + 1])
-        lane_ok = (blk * LANES + lanes) < n_leaves      # (1, 128)
-        passed = jnp.logical_not(outside) & lane_ok     # (TB, 128)
+    def wl_body(j, counts):
+        blk = wl_ref[0, j]
 
-        def do_block(cursors):
+        def do_blk(counts, blk=blk):
+            off_l = pl.multiple_of(blk * LANES, LANES)
+            lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
+            hi = lhi_ref[:, pl.ds(off_l, LANES)]
+            passed = _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi)
+            passed = passed & ((blk * LANES + lanes) < n_leaves)
+
             # conservative origin-box -> leaf-box distance (lower bound on
             # any tile ray's t to reach the leaf, for unit directions)
             g2 = jnp.zeros((TB, LANES), jnp.float32)
@@ -152,52 +233,55 @@ def _cull_kernel(posn_ref, negn_ref, thr_ref, olo_ref, ohi_ref,
                 blk * LANES + lanes)
             key_all = jnp.where(passed, key_all, _I32MAX)
 
-            new_cur = []
+            new_cnt = []
             for t in range(TB):
-                m = passed[t:t + 1, :]
-                cnt = jnp.sum(m.astype(jnp.int32))
+                nblk = jnp.sum(passed[t:t + 1, :].astype(jnp.int32))
 
-                def tile_do(cur, m=m, t=t, key_t=key_all[t:t + 1, :]):
-                    mi = m.astype(jnp.int32)
-                    r = mi
-                    for sh in (1, 2, 4, 8, 16, 32, 64):
-                        r = r + jnp.where(lanes >= sh,
-                                          pltpu.roll(r, sh, axis=1), 0)
-                    r = r - mi                       # exclusive rank
-                    deficit = jnp.where(m, lanes - r, 0)
-                    kk = jnp.where(m, key_t, _I32MAX)
-                    for b in (1, 2, 4, 8, 16, 32, 64):
-                        ak = pltpu.roll(kk, LANES - b, axis=1)
-                        ad = pltpu.roll(deficit, LANES - b, axis=1)
-                        take = ((lanes < LANES - b) & ((ad & b) != 0)
-                                & (ak != _I32MAX))
-                        kk = jnp.where(take, ak, kk)
-                        deficit = jnp.where(take, ad - b, deficit)
-                    keys_ref[t, pl.ds(jnp.minimum(cur, k_cap), LANES)] = kk[0]
-                    return cur + cnt
+                def tile_do(cnt, t=t, key_t=key_all[t:t + 1, :], nblk=nblk):
+                    cur = jnp.minimum(cnt // LANES, cap_blk)
+                    off = pl.multiple_of(cur * LANES, LANES)
+                    # stage [partial tail block | new keys] through a
+                    # scratch row (a direct concat trips Mosaic's
+                    # sublane-offset check on the sliced key row)
+                    conc_ref[0, :LANES] = keys_ref[t, pl.ds(off, LANES)]
+                    conc_ref[0, LANES:] = key_t[0]
+                    comp = _compact_left(conc_ref[0:1, :], lanes2)
+                    combined = cnt - cur * LANES + nblk
+                    # compaction leaves stale copies beyond the live
+                    # prefix; blank them or later merges duplicate keys
+                    comp = jnp.where(lanes2 < combined, comp, _I32MAX)
+                    keys_ref[t, pl.ds(off, 2 * LANES)] = comp[0]
+                    return cnt + nblk
 
-                cur = lax.cond(cnt > 0, tile_do, lambda c: c, cursors[t])
-                new_cur.append(cur)
-            return tuple(new_cur)
+                cnt = lax.cond(nblk > 0, tile_do, lambda c: c, counts[t])
+                new_cnt.append(cnt)
+            return tuple(new_cnt)
 
-        total = jnp.sum(passed.astype(jnp.int32))
-        return lax.cond(total > 0, do_block, lambda c: c, cursors)
+        return lax.cond(blk >= 0, do_blk, lambda c: c, counts)
 
-    cursors = lax.fori_loop(0, nb, blk_body,
-                            tuple(jnp.int32(0) for _ in range(TB)))
+    zeros8 = tuple(jnp.int32(0) for _ in range(TB))
+    counts = lax.fori_loop(0, max_blocks, wl_body, zeros8)
     for t in range(TB):
-        cnt_ref[t, 0] = cursors[t]
+        cnt_ref[t, 0] = counts[t]
 
 
-@partial(jax.jit, static_argnames=("k_cap", "interpret"))
+@partial(jax.jit, static_argnames=("k_cap", "interpret", "max_blocks"))
 def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
-               k_cap: int = 256, interpret: bool = False):
-    """Dense frustum cull: per tile the (lb|leaf) keys of every leaf whose
-    AABB intersects the tile frustum (unordered, I32MAX padded) + counts.
+               k_cap: int = 256, interpret: bool = False,
+               max_blocks: int = 128):
+    """Two-level dense frustum cull: per tile the (lb|leaf) keys of every
+    leaf whose AABB intersects the tile frustum (unordered, live keys
+    compacted to the front, I32MAX padded) + survivor counts.
+
+    Tier 1 (K1a) tests 128-leaf block union boxes per tile GROUP and is
+    pure vector math; a tiny XLA pass compacts the surviving block ids
+    into per-group worklists; tier 2 (K1b) only touches listed blocks.
+    Groups whose worklist overflows max_blocks report count = k_cap+1 on
+    all their tiles (callers retrace them).
 
     posn/negn: (T, 4, 3) relu/negative parts of inward plane normals;
     thresh: (T, 4) min over the tile's origin box of n.o; olo/ohi: (T, 3)
-    origin box. Returns (keys (T, k_cap+128) i32, counts (T,) i32)."""
+    origin box. Returns (keys (T, >=k_cap) i32, counts (T,) i32)."""
     T = posn.shape[0]
     if T % TB:
         # pad with always-culling tiles (zero planes, positive threshold)
@@ -208,40 +292,79 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
         olo = jnp.concatenate([olo, jnp.zeros((pad, 3))], axis=0)
         ohi = jnp.concatenate([ohi, jnp.zeros((pad, 3))], axis=0)
     tp = posn.shape[0]
+    G = tp // TB
     lpad = aux.leaf_lo.shape[1]
-    grid = (tp // TB,)
+    nbpad = aux.blk_lo.shape[1]
+    nb = aux.n_blocks
+
+    tile_specs = [
+        pl.BlockSpec((TB, 4, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 4, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+    # --- K1a: coarse block mask per group --------------------------------
+    blkmask = pl.pallas_call(
+        partial(_cull_blocks_kernel, n_blocks=nb),
+        grid=(G,),
+        in_specs=tile_specs + [
+            pl.BlockSpec((3, nbpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, nbpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((G, nbpad), jnp.int32),
+        out_specs=pl.BlockSpec((1, nbpad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(posn, negn, thresh, aux.blk_lo, aux.blk_hi)
+
+    # --- worklist compaction (XLA): surviving block ids per group --------
+    m = blkmask > 0
+    rank = jnp.cumsum(m, axis=1) - m
+    gidx = jnp.arange(G, dtype=jnp.int32)[:, None]
+    tgt = gidx * max_blocks + jnp.minimum(rank, max_blocks - 1)
+    blk_ids = jnp.broadcast_to(jnp.arange(nbpad, dtype=jnp.int32), m.shape)
+    wl = jnp.full((G * max_blocks,), -1, jnp.int32).at[
+        jnp.where(m, tgt, G * max_blocks - 1)
+    ].max(jnp.where(m, blk_ids, -1)).reshape(G, max_blocks)
+    n_blk_g = (rank[:, -1] + m[:, -1]).astype(jnp.int32)
+    wl_overflow = n_blk_g > max_blocks
+
+    # --- K1b: fine leaf cull over the worklists --------------------------
     keys, cnt = pl.pallas_call(
-        partial(_cull_kernel, n_leaves=aux.n_leaves, k_cap=k_cap),
-        grid=grid,
+        partial(_cull_kernel, n_leaves=aux.n_leaves, k_cap=k_cap,
+                max_blocks=max_blocks),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((TB, 4, 3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 4, 3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max_blocks), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ] + tile_specs + [
+            pl.BlockSpec((TB, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, lpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, lpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((tp, k_cap + LANES), jnp.int32),
+            jax.ShapeDtypeStruct((tp, k_cap + 2 * LANES), jnp.int32),
             jax.ShapeDtypeStruct((tp, 1), jnp.int32),
         ),
         out_specs=(
-            pl.BlockSpec((TB, k_cap + LANES), lambda i: (i, 0),
+            pl.BlockSpec((TB, k_cap + 2 * LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((1, 2 * LANES), jnp.int32)],
         interpret=interpret,
-    )(posn, negn, thresh, olo, ohi, aux.leaf_lo, aux.leaf_hi)
-    return keys[:T], cnt.reshape(tp)[:T]
+    )(wl, posn, negn, thresh, olo, ohi, aux.leaf_lo, aux.leaf_hi)
+    counts = cnt.reshape(tp)
+    counts = jnp.where(jnp.repeat(wl_overflow, TB), k_cap + 1, counts)
+    return keys[:T], counts[:T]
 
 
 # --------------------------------------------------------------------------
@@ -263,7 +386,7 @@ def _mt_kernel(o_ref, d_ref, geom_ref, lbg_ref, tmax_ref, t_ref, i_ref):
     zeros = jnp.zeros((2, TILE), jnp.float32)
     f = jnp.concatenate([d3, cx, cy, cz, o3, ones, zeros], axis=0)  # (12,256)
 
-    tmax = tmax_ref[0, 0]
+    tmax = tmax_ref[0, 0, 0]
 
     def cond(state):
         blk, best_t, best_i = state
@@ -305,7 +428,7 @@ def mt_resolve(o_t, d_t, geom, lbg, tmax, interpret: bool = False):
     """o_t/d_t: (T, 3, 256) centered origins + directions; geom:
     (T, K4, 48) G rows in near-to-far order (zero rows never hit); lbg:
     (T, 1, NB) per-128-tri-block entry-distance gates (in ray-t units);
-    tmax: (T, 1) initial per-tile t bound. -> (t (T,256), tri idx (T,256))."""
+    tmax: (T, 1, 1) initial per-tile t bound. -> (t (T,256), idx (T,256))."""
     T, k4 = geom.shape[:2]
     nblk = k4 // TRI_BLK
     t_out, i_out = pl.pallas_call(
@@ -320,7 +443,7 @@ def mt_resolve(o_t, d_t, geom, lbg, tmax, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nblk), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=(
@@ -349,11 +472,11 @@ def _decode_keys(keys):
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
-                                   "wf_cap_factor"))
+                                   "wf_cap_factor", "sort"))
 def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_leaves: int = 256, t_max=BVH_FAR,
                        interpret: bool = False, retrace: bool = True,
-                       wf_cap_factor: int = 8):
+                       wf_cap_factor: int = 8, sort: bool = False):
     """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
     origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
     Returns (Hits, per-tile overflow mask). With retrace=True overflowed
@@ -379,24 +502,44 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                               k_cap=K, interpret=interpret)
     overflow = counts > K
 
-    keys_s = lax.sort(keys[:, :K], dimension=1)
+    keys_s = keys[:, :K]
+    if sort:
+        # near-to-far ordering enables mid-list early exit in K2; the XLA
+        # sort costs ~27 ms on 1600x256 keys, so it only pays off for
+        # scenes with long per-tile lists (K1 already compacts live keys
+        # to a prefix, so exit-at-list-end needs no sort)
+        keys_s = lax.sort(keys_s, dimension=1)
     lb, leaves = _decode_keys(keys_s)
     live = keys_s != _I32MAX
     lrow = jnp.where(live, leaves, 0)
 
-    geom = jnp.where(live[:, :, None, None],
-                     aux.gtab[lrow], 0.0).reshape(T, K * 4, 48)
+    # per-triangle row gather straight into kernel layout ((T, K4, 48), no
+    # post-gather reshape across the 128-lane padding); dead entries point
+    # at an all-zero sentinel row (det = 0 -> never hits)
+    gflat = aux.gtab.reshape(-1, 48)
+    zrow = jnp.int32(gflat.shape[0])
+    gflat = jnp.concatenate([gflat, jnp.zeros((1, 48), jnp.float32)], axis=0)
+    lanes4 = jnp.arange(4, dtype=jnp.int32)
+    tri_idx = jnp.where(live[:, :, None], lrow[:, :, None] * 4 + lanes4,
+                        zrow).reshape(T, K * 4)
+    geom = gflat[tri_idx]                                # (T, K4, 48)
 
-    # block gates in ray-t units: entry distance / max |d| over the tile
+    # block gates in ray-t units: entry distance / max |d| over the tile.
+    # Dead blocks gate at +inf so they never pass (t_far itself can reach
+    # BVH_FAR when a tile has miss rays)
     dlen = jnp.linalg.norm(d, axis=-1)
     maxd = jnp.maximum(dlen.max(axis=1), 1e-20)          # (T,)
-    lbg = jnp.where(live, lb, BVH_FAR)[:, ::32] / maxd[:, None]
-    lbg = lbg.reshape(T, 1, K // 32)
+    blk_live = live.reshape(T, K // 32, 32).any(axis=2)
+    if sort:
+        gate = jnp.where(live, lb, BVH_FAR)[:, ::32] / maxd[:, None]
+    else:
+        gate = jnp.zeros((T, K // 32), jnp.float32)
+    lbg = jnp.where(blk_live, gate, jnp.inf).reshape(T, 1, K // 32)
 
     o_c = jnp.transpose(o - aux.center, (0, 2, 1))       # (T, 3, 256)
     d_t = jnp.transpose(d, (0, 2, 1))
     tmax = jnp.broadcast_to(
-        jnp.asarray(t_max, jnp.float32), (T,)).reshape(T, 1)
+        jnp.asarray(t_max, jnp.float32), (T,)).reshape(T, 1, 1)
     best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
                                 interpret=interpret)
 

@@ -24,7 +24,12 @@ from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
 from tinybvh_tpu.core.rays import Hits, Rays, no_hits
 from tinybvh_tpu.core.vecmath import BVH_FAR
 
-STACK_DEPTH = 64
+# Covers the binned builder's depth bound (builders/binned.py _MAX_LEVELS =
+# 128): ordered BVH2 descent pushes at most one node per level, so 130
+# slots can never silently overwrite the top slot on any buildable tree
+# (the reference plays it safer still with a 256-entry stack,
+# tiny_bvh.h:3249).
+STACK_DEPTH = 130
 
 
 def pack_tris(bvh, tris):

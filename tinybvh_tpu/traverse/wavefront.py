@@ -209,6 +209,10 @@ def intersect_wavefront(
         )
 
     s = lax.while_loop(cond, body, state)
+    # the loop stopping at MAX_LEVELS with pairs still pending is silent
+    # truncation (deep/unbalanced trees) — surface it as overflow
+    truncated = (s["n_pairs"] > 0) & (s["level"] >= MAX_LEVELS)
+    s["overflow"] = s["overflow"] | truncated
 
     # ---- recover the full hit record from (tkey, win) -------------------
     win = s["win"]
