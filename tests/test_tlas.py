@@ -136,6 +136,28 @@ def test_tlas_occlusion(rng):
     assert not bool(tlas.is_occluded(r, t_max=1.0)[0])  # sphere starts at x=-1
 
 
+def test_tlas_occlusion_early_exit_vs_brute_force(rng):
+    """Any-hit wavefront occlusion (≙ IsOccludedTLAS tiny_bvh.h:3455) must
+    agree with brute force over the flattened world geometry for random
+    rays and finite t_max values."""
+    tris = sphere_tris(6, 10)
+    blas = BVH(tris)
+    mats = np.stack([_mat((0, 0, 0)), _mat((3, 1, 0)), _mat((-2, -1, 2))])
+    tlas = TLAS([blas], mats)
+    world = np.concatenate(
+        [tris + np.array(t, np.float32) for t in
+         [(0, 0, 0), (3, 1, 0), (-2, -1, 2)]])
+    o = rng.uniform(-6, 6, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    ref = brute_force_closest(rays, jnp.asarray(world))
+    for t_max in (0.5, 2.0, 1e30):
+        occ = np.asarray(tlas.is_occluded(rays, t_max=t_max))
+        expect = np.asarray(ref.t) < t_max
+        np.testing.assert_array_equal(occ, expect)
+
+
 def test_tlas_wavefront_matches_lockstep(rng):
     """The wavefront two-level traversal must agree with the lockstep one."""
     from tinybvh_tpu.tlas.instance import (

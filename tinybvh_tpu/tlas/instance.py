@@ -365,11 +365,19 @@ def intersect_tlas8(tlas: TLAS8, rays: Rays, t_max=BVH_FAR) -> Hits:
     )
 
 
-@jax.jit
-def is_occluded_tlas8(tlas: TLAS8, rays: Rays, t_max):
-    """Any-hit two-level query (currently closest-hit based; a dedicated
-    early-exit variant mirroring IsOccludedTLAS tiny_bvh.h:3455 is a
-    planned optimization)."""
+def is_occluded_tlas8(tlas: TLAS8, rays: Rays, t_max, cap_factor: int = 4):
+    """Early-exit any-hit two-level query (≙ IsOccludedTLAS,
+    tiny_bvh.h:3455-3526): rides the wavefront traversal with any_hit=True,
+    which drops a ray's remaining (ray, node) pairs the moment any
+    triangle hits below t_max — shadow rays in instanced scenes stop at
+    the first occluder instead of paying the full closest-hit walk.
+    Retries with a larger frontier on overflow, then falls back to the
+    (exact, overflow-free) lockstep traversal."""
+    for cap in (cap_factor, 3 * cap_factor):
+        _, occ, overflow = intersect_tlas_wavefront(
+            tlas, rays, t_max, cap_factor=cap, any_hit=True)
+        if not bool(np.asarray(overflow)):
+            return occ
     h = intersect_tlas8(tlas, rays, t_max)
     return h.prim >= 0
 

@@ -189,7 +189,7 @@ def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
         hi = bhi_ref[:, j * LANES:(j + 1) * LANES]
         ok = _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi)
         ok = ok & ((j * LANES + lanes) < n_blocks)
-        mask_ref[0, j * LANES:(j + 1) * LANES] = jnp.any(
+        mask_ref[0, 0, j * LANES:(j + 1) * LANES] = jnp.any(
             ok, axis=0, keepdims=True).astype(jnp.int32)[0]
 
 
@@ -210,7 +210,7 @@ def _cull_kernel(wl_ref, posn_ref, negn_ref, thr_ref, olo_ref, ohi_ref,
     keys_ref[:, :] = jnp.full(keys_ref.shape, _I32MAX, jnp.int32)
 
     def wl_body(j, counts):
-        blk = wl_ref[0, j]
+        blk = wl_ref[0, 0, j]
 
         def do_blk(counts, blk=blk):
             off_l = pl.multiple_of(blk * LANES, LANES)
@@ -315,11 +315,14 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
             pl.BlockSpec((3, nbpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((G, nbpad), jnp.int32),
-        out_specs=pl.BlockSpec((1, nbpad), lambda i: (i, 0),
+        # (G, 1, nbpad) with a (1, 1, nbpad) block: Mosaic requires the
+        # trailing two block dims be (8k, 128k) or equal to the array dims —
+        # a (1, nbpad) block over (G, nbpad) fails that check on hardware
+        out_shape=jax.ShapeDtypeStruct((G, 1, nbpad), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, nbpad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(posn, negn, thresh, aux.blk_lo, aux.blk_hi)
+    )(posn, negn, thresh, aux.blk_lo, aux.blk_hi)[:, 0, :]
 
     # --- worklist compaction (XLA): surviving block ids per group --------
     m = blkmask > 0
@@ -329,7 +332,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
     blk_ids = jnp.broadcast_to(jnp.arange(nbpad, dtype=jnp.int32), m.shape)
     wl = jnp.full((G * max_blocks,), -1, jnp.int32).at[
         jnp.where(m, tgt, G * max_blocks - 1)
-    ].max(jnp.where(m, blk_ids, -1)).reshape(G, max_blocks)
+    ].max(jnp.where(m, blk_ids, -1)).reshape(G, 1, max_blocks)
     n_blk_g = (rank[:, -1] + m[:, -1]).astype(jnp.int32)
     wl_overflow = n_blk_g > max_blocks
 
@@ -339,7 +342,9 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
                 max_blocks=max_blocks),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, max_blocks), lambda i: (i, 0),
+            # (G, 1, max_blocks): trailing block dims must equal the array's
+            # (Mosaic tiling check applies to SMEM blocks as well)
+            pl.BlockSpec((1, 1, max_blocks), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ] + tile_specs + [
             pl.BlockSpec((TB, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
