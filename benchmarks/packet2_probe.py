@@ -113,12 +113,26 @@ def main(K=256):
     (bt, bi), t_mt = timeit("MT (K2)", p2.mt_resolve, o_c, d_t, geom, lbg,
                             tmax)
 
+    # fused K2 stage alone (same inputs as gather+MT combined)
+    @functools.partial(jax.jit, static_argnames=())
+    def stage_fused(aux, keys, counts, o4, d4):
+        keys_s = keys[:, :K]
+        lbg = jnp.zeros((T, 1, K // 32), jnp.float32)
+        tmax = jnp.full((T, 1), 1e30, jnp.float32)
+        o_c = jnp.transpose(o4 - aux.center, (0, 2, 1))
+        d_t = jnp.transpose(d4, (0, 2, 1))
+        return p2.mt_resolve_fused(keys_s, jnp.minimum(counts, K), lbg,
+                                   tmax, o_c, d_t, aux.gtab_pad, k_cap=K)
+
+    _, t_fused = timeit("fused K2", stage_fused, aux, keys, counts, o4, d4)
+
     # end-to-end
-    def e2e(rays):
+    def e2e(rays, fused=True):
         hits, ovf = p2.intersect_packets2(bvh8, aux, rays, max_leaves=K,
-                                          retrace=False)
+                                          retrace=False, fused=fused)
         return hits.t, hits.prim, ovf
 
+    _, t_e2e_uf = timeit("end-to-end unfused", e2e, rays, fused=False)
     (ht, hp, ovf), t_e2e = timeit("end-to-end", e2e, rays)
     print(f"primary MRays/s (packet2): {R / t_e2e / 1e6:.2f}", flush=True)
     print("hit rate:", float(np.mean(np.asarray(hp) >= 0)),

@@ -86,6 +86,30 @@ def test_optimize_sah_tree_not_degraded():
     assert float(sah_cost(opt)) <= before + 1e-3
 
 
+def test_optimize_improves_binned_tree():
+    """A real win on a binned-SAH tree over structured geometry — the
+    reference's whole point (tiny_bvh_speedtest.cpp "BVH8_CPU optimized"):
+    Mcomb-ranked reinsertion must cut SAH measurably, in every mode."""
+    from tinybvh_tpu.io.loaders import sphere_tris
+
+    # two interleaved shells: binned SAH leaves improvable overlap
+    tris = np.concatenate([
+        sphere_tris(24, 48, radius=1.0),
+        sphere_tris(24, 48, radius=1.02),
+        random_tris(2000, seed=4, extent=2.0, size=0.05) - 1.0,
+    ]).astype(np.float32)
+    bvh = build_binned(tris)
+    before = float(sah_cost(bvh))
+    opt = optimize_reinsertion(bvh, passes=8, batch=128)
+    gain = 1.0 - float(sah_cost(opt)) / before
+    # binned SAH is already strong on this geometry; the reference's own
+    # gains at comparable iteration budgets are single-digit percent
+    assert gain > 0.005, f"expected >0.5% SAH win, got {gain:.4f}"
+    for mode in ("stochastic", "extreme"):
+        o = optimize_reinsertion(bvh, passes=3, batch=32, mode=mode)
+        assert float(sah_cost(o)) <= before + 1e-3
+
+
 def test_epo_cost_reasonable():
     tris = random_tris(200, seed=11)
     bvh = build_binned(tris)

@@ -83,6 +83,18 @@ class BVH:
             from tinybvh_tpu.layouts.mbvh import collapse_bvh2
 
             self.bvh8 = collapse_bvh2(self.bvh2, tris, host=self._host)
+        self._packet_aux = None
+
+    @property
+    def packet_aux(self):
+        """Lazy packet-v2 tables (traverse.packet2) for this BVH8."""
+        if self._packet_aux is None:
+            if self.bvh8 is None:
+                raise ValueError("packet tracing needs the bvh8 layout")
+            from tinybvh_tpu.traverse.packet2 import build_packet_aux
+
+            self._packet_aux = build_packet_aux(self.bvh8)
+        return self._packet_aux
 
     # -- queries ----------------------------------------------------------
     def intersect(self, rays: Rays, t_max=BVH_FAR):

@@ -155,26 +155,31 @@ def _find_best_position(v: _Verbose, sub_mn, sub_mx, skip):
 
 
 def optimize_reinsertion(
-    bvh: BVH2, passes: int = 5, batch: int = 32,
+    bvh: BVH2, passes: int = 5, batch: int = 32, mode: str = "normal",
 ) -> BVH2:
     """Optimize a BVH by repeated remove-and-reinsert of costly interior
-    nodes. Accepts a pass only if the global SAH improved (≙ the
-    reference's backup/restore loop, tiny_bvh.h:4372-4439).
+    nodes (Bittner 2013). Candidates are ranked by the reference's combined
+    measure Mcomb = A·Msum·Mmin with Msum = A/(0.5(A_L+A_R)) and
+    Mmin = A/min(A_L, A_R) (≙ tiny_bvh.h:4352-4356); a pass is accepted
+    only if the global SAH improved (≙ the backup/restore loop,
+    tiny_bvh.h:4372-4439).
+
+    mode (≙ Optimize(iterations, extreme, stochastic)):
+      "normal"     — top `batch` candidates per pass;
+      "extreme"    — candidate count grows each pass (1%→60% of interior),
+                     strided so passes stay bounded;
+      "stochastic" — random slice of the top half, random stride.
 
     Not valid for spatial-split (SBVH) trees only in the sense that the
     result remains correct but duplicated fragments keep their leaves.
     """
     v = _Verbose(bvh)
     rng = np.random.default_rng(12345)
+    cur_sah = v.sah()
     for _p in range(passes):
-        before = v.sah()
-        backup = (v.mn.copy(), v.mx.copy(), v.left.copy(),
-                  v.count.copy(), v.parent.copy(), v.n)
-
-        # rank LIVE interior (non-root) nodes by relative inefficiency
-        # (≙ the Mcomb ranking, tiny_bvh.h:4349-4360); jitter the ranking a
-        # little so successive passes explore different candidates.
-        # Reinsertions orphan slots, so reachability is recomputed per pass.
+        # rank LIVE interior (non-root) nodes by Mcomb; jitter slightly so
+        # successive passes explore different candidates. Reinsertions
+        # orphan slots, so reachability is recomputed per pass.
         live = np.zeros(v.mn.shape[0], bool)
         stack = [0]
         while stack:
@@ -187,10 +192,29 @@ def optimize_reinsertion(
             break
         a = _ha(v.mn[interior], v.mx[interior])
         l = v.left[interior]
-        child_a = _ha(v.mn[l], v.mx[l]) + _ha(v.mn[l + 1], v.mx[l + 1])
-        score = a * a / np.maximum(child_a, 1e-30)
-        score = score * rng.uniform(0.7, 1.0, score.shape)
-        cand = interior[np.argsort(-score)[:batch]]
+        al = _ha(v.mn[l], v.mx[l])
+        ar = _ha(v.mn[l + 1], v.mx[l + 1])
+        m_sum = a / np.maximum(0.5 * (al + ar), 1e-30)
+        m_min = a / np.maximum(np.minimum(al, ar), 1e-30)
+        score = a * m_sum * m_min
+        score = score * rng.uniform(0.9, 1.0, score.shape)
+        order = interior[np.argsort(-score)]
+        if mode == "extreme":
+            portion = 0.01 + 0.6 * _p / max(passes, 1)
+            limit = max(batch, int(portion * order.size))
+            step = max(1, limit // max(batch, 1))
+            cand = order[:limit:step]
+        elif mode == "stochastic":
+            limit = order.size // 2
+            start = int(limit * max(0.0, rng.uniform() * 1.2 - 0.3))
+            idx = start
+            cand = []
+            while idx < limit and len(cand) < batch:
+                cand.append(order[idx])
+                idx += rng.integers(1, 64)
+            cand = np.asarray(cand, np.int64)
+        else:
+            cand = order[:batch]
 
         for c in cand:
             c = int(c)
@@ -199,6 +223,12 @@ def optimize_reinsertion(
             p = v.parent[c]
             if p == -1 or v.count[c] != 0:
                 continue
+            # per-candidate accept/rollback (≙ the reference's sahBefore/
+            # sahAfter gate around each reinsertion, tiny_bvh.h:4396-4439):
+            # keep a change only if the global SAH improved, so passes are
+            # monotone instead of an all-or-nothing gamble
+            cand_bk = (v.mn.copy(), v.mx.copy(), v.left.copy(),
+                       v.count.copy(), v.parent.copy(), v.n)
             # remove node c: its sibling replaces parent p (works for the
             # root as parent too — the root slot takes the sibling content)
             sib = v.left[p] + 1 if v.left[p] == c else v.left[p]
@@ -246,11 +276,11 @@ def optimize_reinsertion(
                 v.mx[best] = np.maximum(v.mx[npair], v.mx[npair + 1])
                 v.refit_up(v.parent[best])
 
-        after = v.sah()
-        if after > before:
-            # pass made things worse: roll back, keep trying (the jittered
-            # ranking will pick different candidates next pass)
-            v.mn, v.mx, v.left, v.count, v.parent, v.n = backup
+            after = v.sah()
+            if after >= cur_sah:
+                v.mn, v.mx, v.left, v.count, v.parent, v.n = cand_bk
+            else:
+                cur_sah = after
     return v.to_bvh2()
 
 

@@ -9,17 +9,27 @@
  * binned fragment bounds), producing the canonical BVH2 layout:
  * root at node 0, slot 1 reserved, children in adjacent pairs.
  *
+ * Single-pass structure (this machine exposes ONE core, so the win is in
+ * pass count, not threads): each task carries its centroid bounds computed
+ * by its parent's partition loop, child AABBs come from the accumulated bin
+ * bounds (as the reference does, tiny_bvh.h:2380-2405), and the partition
+ * loop folds the child centroid bounds on the fly — one binning pass + one
+ * partition pass per node instead of four scans.
+ *
  * Build: cc -O3 -march=native -shared -fPIC builder.c -o libtinybvh.so
  */
 #include <float.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
+
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 #define BINS 8
 #define C_TRAV 1.0f
 #define C_INT 1.0f
-
-typedef struct { float x, y, z; } vec3;
 
 static inline float fmin3(float a, float b) { return a < b ? a : b; }
 static inline float fmax3(float a, float b) { return a > b ? a : b; }
@@ -34,6 +44,7 @@ typedef struct {
     const float *fmin;   /* (N,3) fragment bounds */
     const float *fmax;
     const float *cent;   /* (N,3) centroids */
+    const float *frag8;  /* (N,8) 32B-aligned [fmin | -fmax | 0 0] rows */
     float *node_min;     /* (M,3) out */
     float *node_max;
     int32_t *left_first;
@@ -43,35 +54,67 @@ typedef struct {
     int32_t max_leaf;
 } ctx_t;
 
-typedef struct { int32_t node, start, cnt; } task_t;
+typedef struct {
+    int32_t node, start, cnt;
+    float cbmin[3], cbmax[3];    /* centroid bounds, computed by parent */
+} task_t;
+
+/* Scan prim[start:start+cnt] for centroid bounds (root / degenerate). */
+static void cent_bounds(ctx_t *c, int32_t start, int32_t cnt,
+                        float *cbmin, float *cbmax) {
+    cbmin[0] = cbmin[1] = cbmin[2] = FLT_MAX;
+    cbmax[0] = cbmax[1] = cbmax[2] = -FLT_MAX;
+    for (int32_t i = start; i < start + cnt; i++) {
+        const float *ce = c->cent + 3 * c->prim[i];
+        for (int a = 0; a < 3; a++) {
+            cbmin[a] = fmin3(cbmin[a], ce[a]);
+            cbmax[a] = fmax3(cbmax[a], ce[a]);
+        }
+    }
+}
+
+/* Exact AABB of prim[s:e) (degenerate-split path only). */
+static void frag_bounds(ctx_t *c, int32_t s, int32_t e,
+                        float *cm, float *cx) {
+    cm[0] = cm[1] = cm[2] = FLT_MAX;
+    cx[0] = cx[1] = cx[2] = -FLT_MAX;
+    for (int32_t i = s; i < e; i++) {
+        const float *fm = c->fmin + 3 * c->prim[i];
+        const float *fx = c->fmax + 3 * c->prim[i];
+        for (int k = 0; k < 3; k++) {
+            cm[k] = fmin3(cm[k], fm[k]);
+            cx[k] = fmax3(cx[k], fx[k]);
+        }
+    }
+}
 
 /* Build the subtree rooted at `node` over prim[start:start+cnt].
  * Iterative with an explicit task stack (≙ the reference's task array). */
-static void build_range(ctx_t *c, int32_t root, int32_t start0, int32_t cnt0) {
+static void build_range(ctx_t *c, int32_t root, int32_t start0, int32_t cnt0,
+                        const float *cb0min, const float *cb0max) {
     task_t stack[128];
     int sp = 0;
-    stack[sp++] = (task_t){root, start0, cnt0};
+    stack[sp].node = root;
+    stack[sp].start = start0;
+    stack[sp].cnt = cnt0;
+    memcpy(stack[sp].cbmin, cb0min, 12);
+    memcpy(stack[sp].cbmax, cb0max, 12);
+    sp++;
 
     while (sp > 0) {
         task_t t = stack[--sp];
         int32_t node = t.node, start = t.start, cnt = t.cnt;
         float *nmn = c->node_min + 3 * node;
         float *nmx = c->node_max + 3 * node;
-
-        /* centroid bounds */
-        float cbmin[3] = {FLT_MAX, FLT_MAX, FLT_MAX};
-        float cbmax[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
-        for (int32_t i = start; i < start + cnt; i++) {
-            const float *ce = c->cent + 3 * c->prim[i];
-            for (int a = 0; a < 3; a++) {
-                cbmin[a] = fmin3(cbmin[a], ce[a]);
-                cbmax[a] = fmax3(cbmax[a], ce[a]);
-            }
-        }
+        const float *cbmin = t.cbmin;
+        const float *cbmax = t.cbmax;
 
         int best_axis = -1, best_bin = -1;
         float best_cost = FLT_MAX;
-        float bin_min[3][BINS][3], bin_max[3][BINS][3];
+        /* bins: [fmin.xyz | fmax.xyz | pad][axis][bin] packed as one row of
+         * 8 floats so min/max updates vectorize (fmax stored NEGATED so the
+         * whole row folds with one min — on AVX2, one _mm256_min_ps) */
+        float binrow[3][BINS][8] __attribute__((aligned(32)));
         int32_t bin_cnt[3][BINS];
         float scale[3];
 
@@ -81,55 +124,64 @@ static void build_range(ctx_t *c, int32_t root, int32_t start0, int32_t cnt0) {
                 scale[a] = ext > 1e-20f ? BINS * 0.999999f / ext : 0.0f;
                 for (int b = 0; b < BINS; b++) {
                     bin_cnt[a][b] = 0;
-                    for (int k = 0; k < 3; k++) {
-                        bin_min[a][b][k] = FLT_MAX;
-                        bin_max[a][b][k] = -FLT_MAX;
-                    }
+                    for (int k = 0; k < 8; k++) binrow[a][b][k] = FLT_MAX;
                 }
             }
+#ifdef __AVX2__
             for (int32_t i = start; i < start + cnt; i++) {
                 int32_t p = c->prim[i];
                 const float *ce = c->cent + 3 * p;
-                const float *fm = c->fmin + 3 * p;
-                const float *fx = c->fmax + 3 * p;
+                __m256 row = _mm256_load_ps(c->frag8 + 8 * p);
                 for (int a = 0; a < 3; a++) {
+                    if (scale[a] == 0.0f) continue;
                     int b = (int)((ce[a] - cbmin[a]) * scale[a]);
-                    if (b < 0) b = 0;
-                    if (b >= BINS) b = BINS - 1;
                     bin_cnt[a][b]++;
-                    for (int k = 0; k < 3; k++) {
-                        bin_min[a][b][k] = fmin3(bin_min[a][b][k], fm[k]);
-                        bin_max[a][b][k] = fmax3(bin_max[a][b][k], fx[k]);
-                    }
+                    float *br = binrow[a][b];
+                    _mm256_store_ps(
+                        br, _mm256_min_ps(_mm256_load_ps(br), row));
                 }
             }
-            /* SAH sweep per axis */
+#else
+            for (int32_t i = start; i < start + cnt; i++) {
+                int32_t p = c->prim[i];
+                const float *ce = c->cent + 3 * p;
+                const float *row = c->frag8 + 8 * p;
+                for (int a = 0; a < 3; a++) {
+                    if (scale[a] == 0.0f) continue;
+                    int b = (int)((ce[a] - cbmin[a]) * scale[a]);
+                    bin_cnt[a][b]++;
+                    float *br = binrow[a][b];
+                    for (int k = 0; k < 8; k++)
+                        br[k] = fmin3(br[k], row[k]);
+                }
+            }
+#endif
+            /* SAH sweep per axis; remember the best split's child AABBs
+             * (binned bounds, ≙ tiny_bvh.h:2380-2405 — no rescan) */
             for (int a = 0; a < 3; a++) {
                 if (scale[a] == 0.0f) continue;
-                float lmin[BINS][3], lmax[BINS][3], rmin[BINS][3], rmax[BINS][3];
-                int32_t lcnt[BINS], rcnt[BINS];
-                for (int k = 0; k < 3; k++) {
-                    lmin[0][k] = bin_min[a][0][k];
-                    lmax[0][k] = bin_max[a][0][k];
-                    rmin[BINS - 1][k] = bin_min[a][BINS - 1][k];
-                    rmax[BINS - 1][k] = bin_max[a][BINS - 1][k];
-                }
-                lcnt[0] = bin_cnt[a][0];
+                float sweep[BINS][8];       /* right-to-left suffix rows */
+                int32_t rcnt[BINS];
+                memcpy(sweep[BINS - 1], binrow[a][BINS - 1], 32);
                 rcnt[BINS - 1] = bin_cnt[a][BINS - 1];
-                for (int b = 1; b < BINS; b++) {
-                    lcnt[b] = lcnt[b - 1] + bin_cnt[a][b];
-                    rcnt[BINS - 1 - b] = rcnt[BINS - b] + bin_cnt[a][BINS - 1 - b];
-                    for (int k = 0; k < 3; k++) {
-                        lmin[b][k] = fmin3(lmin[b - 1][k], bin_min[a][b][k]);
-                        lmax[b][k] = fmax3(lmax[b - 1][k], bin_max[a][b][k]);
-                        rmin[BINS-1-b][k] = fmin3(rmin[BINS-b][k], bin_min[a][BINS-1-b][k]);
-                        rmax[BINS-1-b][k] = fmax3(rmax[BINS-b][k], bin_max[a][BINS-1-b][k]);
-                    }
+                for (int b = BINS - 2; b >= 0; b--) {
+                    rcnt[b] = rcnt[b + 1] + bin_cnt[a][b];
+                    for (int k = 0; k < 8; k++)
+                        sweep[b][k] = fmin3(sweep[b + 1][k], binrow[a][b][k]);
                 }
+                float lrow[8];
+                int32_t lcnt = 0;
+                for (int k = 0; k < 8; k++) lrow[k] = FLT_MAX;
                 for (int b = 0; b < BINS - 1; b++) {
-                    if (lcnt[b] == 0 || rcnt[b + 1] == 0) continue;
-                    float cost = half_area(lmin[b], lmax[b]) * lcnt[b]
-                               + half_area(rmin[b + 1], rmax[b + 1]) * rcnt[b + 1];
+                    lcnt += bin_cnt[a][b];
+                    for (int k = 0; k < 8; k++)
+                        lrow[k] = fmin3(lrow[k], binrow[a][b][k]);
+                    if (lcnt == 0 || rcnt[b + 1] == 0) continue;
+                    float lmx[3] = {-lrow[3], -lrow[4], -lrow[5]};
+                    float rmx[3] = {-sweep[b+1][3], -sweep[b+1][4],
+                                    -sweep[b+1][5]};
+                    float cost = half_area(lrow, lmx) * lcnt
+                               + half_area(sweep[b + 1], rmx) * rcnt[b + 1];
                     if (cost < best_cost) {
                         best_cost = cost;
                         best_axis = a;
@@ -157,46 +209,77 @@ static void build_range(ctx_t *c, int32_t root, int32_t start0, int32_t cnt0) {
             continue;
         }
 
-        /* partition prim[start:start+cnt] */
-        int32_t mid;
-        if (best_axis >= 0) {
-            int32_t i = start, j = start + cnt - 1;
-            while (i <= j) {
-                const float *ce = c->cent + 3 * c->prim[i];
-                int b = (int)((ce[best_axis] - cbmin[best_axis]) * scale[best_axis]);
-                if (b < 0) b = 0;
-                if (b >= BINS) b = BINS - 1;
-                if (b <= best_bin) i++;
-                else { int32_t tmp = c->prim[i]; c->prim[i] = c->prim[j]; c->prim[j] = tmp; j--; }
-            }
-            mid = i;
-        } else mid = start + cnt / 2; /* degenerate: halve */
-        if (mid == start || mid == start + cnt) mid = start + cnt / 2;
-
         int32_t l = c->n_used;
         c->n_used += 2;
         c->left_first[node] = l;
         c->count[node] = 0;
-        /* child bounds: exact fragment bounds (tight; the reference uses
-         * binned bounds — exact is equal or tighter) */
-        for (int side = 0; side < 2; side++) {
-            int32_t s = side == 0 ? start : mid;
-            int32_t e = side == 0 ? mid : start + cnt;
-            float *cm = c->node_min + 3 * (l + side);
-            float *cx = c->node_max + 3 * (l + side);
-            cm[0] = cm[1] = cm[2] = FLT_MAX;
-            cx[0] = cx[1] = cx[2] = -FLT_MAX;
-            for (int32_t i = s; i < e; i++) {
-                const float *fm = c->fmin + 3 * c->prim[i];
-                const float *fx = c->fmax + 3 * c->prim[i];
-                for (int k = 0; k < 3; k++) {
-                    cm[k] = fmin3(cm[k], fm[k]);
-                    cx[k] = fmax3(cx[k], fx[k]);
+        float *lm = c->node_min + 3 * l, *lx = c->node_max + 3 * l;
+        float *rm = lm + 3, *rx = lx + 3;
+        task_t *lt = &stack[sp], *rt = &stack[sp + 1];
+
+        int32_t mid;
+        if (best_axis >= 0) {
+            /* child AABBs from the accumulated bin bounds */
+            float row[8];
+            for (int k = 0; k < 8; k++) row[k] = FLT_MAX;
+            for (int b = 0; b <= best_bin; b++)
+                for (int k = 0; k < 8; k++)
+                    row[k] = fmin3(row[k], binrow[best_axis][b][k]);
+            lm[0]=row[0]; lm[1]=row[1]; lm[2]=row[2];
+            lx[0]=-row[3]; lx[1]=-row[4]; lx[2]=-row[5];
+            for (int k = 0; k < 8; k++) row[k] = FLT_MAX;
+            for (int b = best_bin + 1; b < BINS; b++)
+                for (int k = 0; k < 8; k++)
+                    row[k] = fmin3(row[k], binrow[best_axis][b][k]);
+            rm[0]=row[0]; rm[1]=row[1]; rm[2]=row[2];
+            rx[0]=-row[3]; rx[1]=-row[4]; rx[2]=-row[5];
+
+            /* partition + child CENTROID bounds folded into the same pass */
+            float lcb[3] = {FLT_MAX, FLT_MAX, FLT_MAX};
+            float lcx[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+            float rcb[3] = {FLT_MAX, FLT_MAX, FLT_MAX};
+            float rcx[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+            float cb = cbmin[best_axis], sc = scale[best_axis];
+            int32_t i = start, j = start + cnt - 1;
+            while (i <= j) {
+                const float *ce = c->cent + 3 * c->prim[i];
+                int b = (int)((ce[best_axis] - cb) * sc);
+                if (b <= best_bin) {
+                    for (int k = 0; k < 3; k++) {
+                        lcb[k] = fmin3(lcb[k], ce[k]);
+                        lcx[k] = fmax3(lcx[k], ce[k]);
+                    }
+                    i++;
+                } else {
+                    for (int k = 0; k < 3; k++) {
+                        rcb[k] = fmin3(rcb[k], ce[k]);
+                        rcx[k] = fmax3(rcx[k], ce[k]);
+                    }
+                    int32_t tmp = c->prim[i];
+                    c->prim[i] = c->prim[j];
+                    c->prim[j] = tmp;
+                    j--;
                 }
             }
+            mid = i;
+            if (mid == start || mid == start + cnt) {
+                mid = start + cnt / 2;   /* numeric fallback: rescan below */
+                goto degenerate;
+            }
+            memcpy(lt->cbmin, lcb, 12); memcpy(lt->cbmax, lcx, 12);
+            memcpy(rt->cbmin, rcb, 12); memcpy(rt->cbmax, rcx, 12);
+        } else {
+            mid = start + cnt / 2; /* degenerate: halve */
+        degenerate:
+            frag_bounds(c, start, mid, lm, lx);
+            frag_bounds(c, mid, start + cnt, rm, rx);
+            cent_bounds(c, start, mid - start, lt->cbmin, lt->cbmax);
+            cent_bounds(c, mid, start + cnt - mid, rt->cbmin, rt->cbmax);
         }
-        stack[sp++] = (task_t){l, start, mid - start};
-        stack[sp++] = (task_t){l + 1, mid, start + cnt - mid};
+
+        lt->node = l; lt->start = start; lt->cnt = mid - start;
+        rt->node = l + 1; rt->start = mid; rt->cnt = start + cnt - mid;
+        sp += 2;
     }
 }
 
@@ -209,29 +292,36 @@ int32_t tinybvh_build_binned(
     int32_t *left_first, int32_t *count, int32_t *prim_idx,
     float *fmin, float *fmax, float *cent)
 {
+    float rcb[3] = {FLT_MAX, FLT_MAX, FLT_MAX};
+    float rcx[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    float *rm = node_min, *rx = node_max;
+    rm[0] = rm[1] = rm[2] = FLT_MAX;
+    rx[0] = rx[1] = rx[2] = -FLT_MAX;
+    float *frag8 = (float *)aligned_alloc(32, (size_t)n * 32);
+    if (!frag8) return -1;
     for (int32_t i = 0; i < n; i++) {
         const float *t = tris + 9 * i;
         for (int k = 0; k < 3; k++) {
             float mn = fmin3(t[k], fmin3(t[3 + k], t[6 + k]));
             float mx = fmax3(t[k], fmax3(t[3 + k], t[6 + k]));
+            float ce = 0.5f * (mn + mx);
             fmin[3 * i + k] = mn;
             fmax[3 * i + k] = mx;
-            cent[3 * i + k] = 0.5f * (mn + mx);
+            cent[3 * i + k] = ce;
+            frag8[8 * i + k] = mn;
+            frag8[8 * i + 3 + k] = -mx;
+            rm[k] = fmin3(rm[k], mn);
+            rx[k] = fmax3(rx[k], mx);
+            rcb[k] = fmin3(rcb[k], ce);
+            rcx[k] = fmax3(rcx[k], ce);
         }
+        frag8[8 * i + 6] = frag8[8 * i + 7] = 0.0f;
         prim_idx[i] = i;
     }
-    /* root bounds */
-    float *rm = node_min, *rx = node_max;
-    rm[0] = rm[1] = rm[2] = FLT_MAX;
-    rx[0] = rx[1] = rx[2] = -FLT_MAX;
-    for (int32_t i = 0; i < n; i++)
-        for (int k = 0; k < 3; k++) {
-            rm[k] = fmin3(rm[k], fmin[3 * i + k]);
-            rx[k] = fmax3(rx[k], fmax[3 * i + k]);
-        }
 
-    ctx_t c = {fmin, fmax, cent, node_min, node_max,
+    ctx_t c = {fmin, fmax, cent, frag8, node_min, node_max,
                left_first, count, prim_idx, 2, max_leaf};
-    build_range(&c, 0, 0, n);
+    build_range(&c, 0, 0, n, rcb, rcx);
+    free(frag8);
     return c.n_used;
 }

@@ -29,6 +29,32 @@ def bake_omap(n_tris: int, alpha_fn, S: int = 8) -> jnp.ndarray:
     return jnp.asarray(bits)
 
 
+def bake_omap_texture(uv_tri, alpha, S: int = 8,
+                      thresh: float = 0.5) -> jnp.ndarray:
+    """Bake (N, S, S) opacity maps from an alpha texture threaded over each
+    triangle's UVs (≙ the reference's texture-driven baker,
+    tiny_scene.h:1682-1750: rasterize the alpha channel into S² bits/tri).
+
+    uv_tri: (N, 3, 2) per-corner texture coordinates (wrap addressing);
+    alpha: (H, W) array in [0, 1]; a micro-cell is opaque when the texel at
+    its barycentric center has alpha >= thresh.
+    """
+    uv_tri = np.asarray(uv_tri, np.float32)
+    a = np.asarray(alpha, np.float32)
+    H, W = a.shape
+
+    def alpha_fn(prim, u, v):
+        uvs = uv_tri[prim]                                   # (K, 3, 2)
+        w = 1.0 - u - v
+        uv = (w[:, None] * uvs[:, 0] + u[:, None] * uvs[:, 1]
+              + v[:, None] * uvs[:, 2])
+        x = np.clip(((uv[:, 0] % 1.0) * W).astype(np.int64), 0, W - 1)
+        y = np.clip(((uv[:, 1] % 1.0) * H).astype(np.int64), 0, H - 1)
+        return a[y, x] >= thresh
+
+    return bake_omap(uv_tri.shape[0], alpha_fn, S)
+
+
 def leaf_align(omap, bvh8) -> jnp.ndarray:
     """Reindex (N, S, S) per-primitive maps into the (L, 4, S, S) layout the
     BVH8 leaf loop consumes; padding lanes (prim -1) become opaque=False

@@ -71,7 +71,16 @@ class PacketAux:
     blk_lo: jnp.ndarray    # (3, NBpad) f32 union boxes of 128-leaf blocks
     blk_hi: jnp.ndarray    # (3, NBpad) f32
     gtab: jnp.ndarray      # (L, 4, 48) f32 per-tri [G_det|G_u|G_v|G_t] rows
+    gtab_pad: jnp.ndarray  # (4L, 128) f32 same rows, lane-padded to 128 so
+    #                        the fused kernel can DMA whole (4, 128) leaf
+    #                        blocks (Mosaic HBM slices must be 128-aligned)
     center: jnp.ndarray    # (3,) f32 scene center subtracted from gtab
+    # opacity micromaps ride along in gtab_pad lanes 48:48+ceil(S*S/16)
+    # (16 bits per f32 word — exact under int<->float conversion), so the
+    # fused MT kernel's alpha test costs no extra DMA. omap keeps the raw
+    # (L, 4, S, S) table for the wavefront retrace path.
+    omap: jnp.ndarray | None = None
+    omap_s: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_leaves(self):
@@ -83,8 +92,11 @@ class PacketAux:
 
 
 @jax.jit
-def build_packet_aux(bvh8: BVH8) -> PacketAux:
-    """Leaf AABBs + centered triple-product rows (one-time per BVH)."""
+def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
+    """Leaf AABBs + centered triple-product rows (one-time per BVH).
+
+    omap: optional (L, 4, S, S) bool opacity micromaps (ops.omap.leaf_align)
+    — baked into the fused kernel's G-row padding lanes."""
     lt = bvh8.leaf_tris                      # (L, 4, 3, 3)
     valid = (bvh8.leaf_prim >= 0)[..., None, None]  # (L, 4, 1, 1)
     big = jnp.where(valid, lt, BVH_FAR)
@@ -126,9 +138,26 @@ def build_packet_aux(bvh8: BVH8) -> PacketAux:
         [blo, jnp.full((nbpad - nb, 3), BVH_FAR)], axis=0)
     bhi = jnp.concatenate(
         [bhi, jnp.full((nbpad - nb, 3), -BVH_FAR)], axis=0)
+    if omap is None:
+        ow = jnp.zeros((4 * L, 0), jnp.float32)
+        S = 0
+    else:
+        S = omap.shape[-1]
+        nw = (S * S + 15) // 16
+        bits = omap.reshape(4 * L, S * S).astype(jnp.int32)
+        pad_b = nw * 16 - S * S
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((4 * L, pad_b), jnp.int32)], axis=1)
+        w = jnp.sum(bits.reshape(4 * L, nw, 16)
+                    << jnp.arange(16, dtype=jnp.int32), axis=2)
+        ow = w.astype(jnp.float32)                       # exact (< 2^16)
+    gtab_pad = jnp.concatenate(
+        [gtab.reshape(-1, 48), ow,
+         jnp.zeros((4 * L, 128 - 48 - ow.shape[1]), jnp.float32)], axis=1)
     return PacketAux(leaf_lo=lo_p.T, leaf_hi=hi_p.T,
                      blk_lo=blo.T, blk_hi=bhi.T, gtab=gtab,
-                     center=center)
+                     gtab_pad=gtab_pad, center=center,
+                     omap=omap, omap_s=S)
 
 
 # --------------------------------------------------------------------------
@@ -194,25 +223,27 @@ def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
 
 
 def _cull_kernel(wl_ref, posn_ref, negn_ref, thr_ref, olo_ref, ohi_ref,
-                 llo_ref, lhi_ref, keys_ref, cnt_ref, conc_ref, *,
+                 llo_ref, lhi_ref, keys_ref, cnt_ref, tmp_ref, *,
                  n_leaves, k_cap, max_blocks):
     """K1b: fine tier — walk this group's surviving-block worklist (SMEM,
     cheap scalar reads), frustum-test the 128 leaves of each block, and
-    merge each tile's surviving (lb|leaf) keys into its output list with a
-    butterfly compaction. The partially-filled tail block lives in
-    keys_ref itself (read back, merge 256 lanes, write 256 lanes at a
-    128-aligned offset — Mosaic requires statically aligned lane offsets),
-    so there are no flush branches."""
+    write each block's per-tile survivor keys to a SLOT-ALIGNED scratch
+    column (slot j = worklist entry j), then compact all 8 tiles' rows
+    with ONE butterfly pass over the whole scratch at the end.
+
+    The earlier per-(tile, block) merge ran a 256-lane butterfly under a
+    lax.cond for every tile of every surviving block — measured 43 ms on
+    bunny (16k tiny (1,256) compactions dominated). Slot-aligned writes
+    make the loop body branch-free vector code, and the single final
+    (8, max_blocks*128) compaction amortizes the butterfly across the
+    whole group."""
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    lanes2 = lax.broadcasted_iota(jnp.int32, (1, 2 * LANES), 1)
-    cap_blk = k_cap // LANES
 
-    keys_ref[:, :] = jnp.full(keys_ref.shape, _I32MAX, jnp.int32)
-
-    def wl_body(j, counts):
+    def wl_body(j, _):
         blk = wl_ref[0, 0, j]
+        off_s = pl.multiple_of(j * LANES, LANES)
 
-        def do_blk(counts, blk=blk):
+        def do_blk(_):
             off_l = pl.multiple_of(blk * LANES, LANES)
             lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
             hi = lhi_ref[:, pl.ds(off_l, LANES)]
@@ -231,38 +262,27 @@ def _cull_kernel(wl_ref, posn_ref, negn_ref, thr_ref, olo_ref, ohi_ref,
             lbb = lax.bitcast_convert_type(lb, jnp.int32)
             key_all = ((lbb >> _LEAF_BITS) << _LEAF_BITS) | (
                 blk * LANES + lanes)
-            key_all = jnp.where(passed, key_all, _I32MAX)
+            tmp_ref[:, pl.ds(off_s, LANES)] = jnp.where(
+                passed, key_all, _I32MAX)
+            return 0
 
-            new_cnt = []
-            for t in range(TB):
-                nblk = jnp.sum(passed[t:t + 1, :].astype(jnp.int32))
+        def skip(_):
+            tmp_ref[:, pl.ds(off_s, LANES)] = jnp.full(
+                (TB, LANES), _I32MAX, jnp.int32)
+            return 0
 
-                def tile_do(cnt, t=t, key_t=key_all[t:t + 1, :], nblk=nblk):
-                    cur = jnp.minimum(cnt // LANES, cap_blk)
-                    off = pl.multiple_of(cur * LANES, LANES)
-                    # stage [partial tail block | new keys] through a
-                    # scratch row (a direct concat trips Mosaic's
-                    # sublane-offset check on the sliced key row)
-                    conc_ref[0, :LANES] = keys_ref[t, pl.ds(off, LANES)]
-                    conc_ref[0, LANES:] = key_t[0]
-                    comp = _compact_left(conc_ref[0:1, :], lanes2)
-                    combined = cnt - cur * LANES + nblk
-                    # compaction leaves stale copies beyond the live
-                    # prefix; blank them or later merges duplicate keys
-                    comp = jnp.where(lanes2 < combined, comp, _I32MAX)
-                    keys_ref[t, pl.ds(off, 2 * LANES)] = comp[0]
-                    return cnt + nblk
+        return lax.cond(blk >= 0, do_blk, skip, 0)
 
-                cnt = lax.cond(nblk > 0, tile_do, lambda c: c, counts[t])
-                new_cnt.append(cnt)
-            return tuple(new_cnt)
+    lax.fori_loop(0, max_blocks, wl_body, 0)
 
-        return lax.cond(blk >= 0, do_blk, lambda c: c, counts)
-
-    zeros8 = tuple(jnp.int32(0) for _ in range(TB))
-    counts = lax.fori_loop(0, max_blocks, wl_body, zeros8)
-    for t in range(TB):
-        cnt_ref[t, 0] = counts[t]
+    width = max_blocks * LANES
+    lanes_w = lax.broadcasted_iota(jnp.int32, (TB, width), 1)
+    comp = _compact_left(tmp_ref[:, :], lanes_w)
+    counts = jnp.sum((tmp_ref[:, :] != _I32MAX).astype(jnp.int32), axis=1,
+                     keepdims=True)
+    comp = jnp.where(lanes_w < counts, comp, _I32MAX)
+    keys_ref[:, :] = comp[:, :k_cap]
+    cnt_ref[:, :] = counts
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "max_blocks"))
@@ -355,16 +375,19 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((tp, k_cap + 2 * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((tp, k_cap), jnp.int32),
             jax.ShapeDtypeStruct((tp, 1), jnp.int32),
         ),
         out_specs=(
-            pl.BlockSpec((TB, k_cap + 2 * LANES), lambda i: (i, 0),
+            pl.BlockSpec((TB, k_cap), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            # VMEM, not SMEM: the counts now come from one vector reduce
+            # (Mosaic can only store scalars to SMEM)
             pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((1, 2 * LANES), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((TB, max_blocks * LANES), jnp.int32)],
         interpret=interpret,
     )(wl, posn, negn, thresh, olo, ohi, aux.leaf_lo, aux.leaf_hi)
     counts = cnt.reshape(tp)
@@ -402,10 +425,17 @@ def _mt_kernel(o_ref, d_ref, geom_ref, lbg_ref, tmax_ref, t_ref, i_ref):
     def body(state):
         blk, best_t, best_i = state
         g = geom_ref[0, pl.ds(blk * TRI_BLK, TRI_BLK), :]   # (128, 48)
-        det = jnp.dot(g[:, 0:12], f, preferred_element_type=jnp.float32)
-        up = jnp.dot(g[:, 12:24], f, preferred_element_type=jnp.float32)
-        vp = jnp.dot(g[:, 24:36], f, preferred_element_type=jnp.float32)
-        tp = jnp.dot(g[:, 36:48], f, preferred_element_type=jnp.float32)
+        # Precision.HIGHEST: the TPU MXU computes f32 matmuls via bf16
+        # passes by default — enough error to flip u/v/det signs on
+        # edge-adjacent rays (measured: false hits on bunny silhouettes)
+        det = jnp.dot(g[:, 0:12], f, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
+        up = jnp.dot(g[:, 12:24], f, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        vp = jnp.dot(g[:, 24:36], f, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        tp = jnp.dot(g[:, 36:48], f, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
         s = jnp.where(det >= 0, 1.0, -1.0)
         ad = det * s
         us = up * s
@@ -467,6 +497,193 @@ def mt_resolve(o_t, d_t, geom, lbg, tmax, interpret: bool = False):
 
 
 # --------------------------------------------------------------------------
+# K2f: fused gather + MT (manual HBM->VMEM leaf DMAs)
+# --------------------------------------------------------------------------
+
+_LPB = TRI_BLK // 4     # leaves per 128-tri super-block
+
+
+def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
+                     gtab_ref, t_ref, i_ref, buf_ref, sem_ref, *, k_cap,
+                     omap_s=0):
+    """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
+    DMA each live leaf's (4, 48) G-row block straight from HBM into a
+    double-buffered (128, 48) VMEM super-block, and run the triple-product
+    MT matmuls on it — no XLA gather materializing a (T, K*4, 48) tensor
+    (measured 36 ms on bunny: 48-float rows waste 15/16 of each (8, 128)
+    gather granule). Early exit: the NEXT super-block is only DMA'd if its
+    distance gate passes the tile's current t_far, so the issued/drained
+    DMA sets always match.
+
+    keys_ref (1,1,k_cap) i32 SMEM; cnt_ref (1,1) SMEM; lbg_ref (1,1,nb)
+    f32 SMEM per-super-block gates; tmax_ref (1,1) f32 SMEM; o/d (1,3,256)
+    VMEM; gtab_ref (4L+pad, 48) f32 in HBM (ANY); buf_ref (2*128, 48)
+    VMEM scratch; sem_ref (2, 32) DMA semaphores."""
+    nb = lbg_ref.shape[2]
+    count = jnp.minimum(cnt_ref[0, 0, 0], k_cap)
+    nsb = (count + _LPB - 1) // _LPB
+
+    d3 = d_ref[0]                                     # (3, 256)
+    o3 = o_ref[0]
+    ox, oy, oz = o3[0:1], o3[1:2], o3[2:3]
+    dx, dy, dz = d3[0:1], d3[1:2], d3[2:3]
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    ones = jnp.ones((1, TILE), jnp.float32)
+    zeros = jnp.zeros((2, TILE), jnp.float32)
+    f = jnp.concatenate([d3, cx, cy, cz, o3, ones, zeros], axis=0)  # (12,256)
+
+    tmax = tmax_ref[0, 0, 0]
+    rows = lax.broadcasted_iota(jnp.int32, (TRI_BLK, 1), 0)
+
+    def leaf_dma(sb, i, slot):
+        ki = sb * _LPB + i
+        leaf = keys_ref[0, 0, ki] & _LEAF_MASK
+        return pltpu.make_async_copy(
+            gtab_ref.at[pl.ds(leaf * 4, 4), :],
+            buf_ref.at[pl.ds(slot * TRI_BLK + i * 4, 4), :],
+            sem_ref.at[slot, i],
+        )
+
+    def issue(sb, slot):
+        def one(i, _):
+            @pl.when(sb * _LPB + i < count)
+            def _():
+                leaf_dma(sb, i, slot).start()
+            return 0
+        lax.fori_loop(0, _LPB, one, 0)
+
+    def drain(sb, slot):
+        def one(i, _):
+            @pl.when(sb * _LPB + i < count)
+            def _():
+                leaf_dma(sb, i, slot).wait()
+            return 0
+        lax.fori_loop(0, _LPB, one, 0)
+
+    @pl.when(nsb > 0)
+    def _():
+        issue(0, 0)
+
+    def cond(state):
+        _, issued, _, _ = state
+        return issued
+
+    def body(state):
+        sb, _, best_t, best_i = state
+        slot = lax.rem(sb, 2)
+        drain(sb, slot)
+        # issue the next super-block BEFORE computing this one (overlap);
+        # gate with the pre-compute t_far so issued == drained even when
+        # this block's hits would have culled it (conservative)
+        t_far = jnp.max(best_t)
+        gate_n = lbg_ref[0, 0, jnp.minimum(sb + 1, nb - 1)]
+        nxt = (sb + 1 < nsb) & (gate_n <= t_far)
+
+        @pl.when(nxt)
+        def _():
+            issue(sb + 1, 1 - slot)
+
+        off = pl.multiple_of(slot * TRI_BLK, TRI_BLK)
+        g = buf_ref[pl.ds(off, TRI_BLK), :]               # (128, 48)
+        # see _mt_kernel: HIGHEST precision or the MXU's bf16 passes
+        # manufacture hits on edge-adjacent rays
+        det = jnp.dot(g[:, 0:12], f, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
+        up = jnp.dot(g[:, 12:24], f, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        vp = jnp.dot(g[:, 24:36], f, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        tp = jnp.dot(g[:, 36:48], f, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        s = jnp.where(det >= 0, 1.0, -1.0)
+        ad = det * s
+        us = up * s
+        vs = vp * s
+        ts = tp * s
+        live = (sb * TRI_BLK + rows) < count * 4
+        hit = (us >= 0) & (vs >= 0) & (us + vs <= ad) & (ts > 0) & (ad > 0)
+        if omap_s:
+            # opacity-micromap alpha test (≙ tiny_bvh.h:8514-8522): the
+            # S*S bit grid rides in lanes 48.. of the same G rows, 16 bits
+            # per f32 word (exact under float->int conversion)
+            S = omap_s
+            inv_ad = 1.0 / jnp.where(ad > 0, ad, 1.0)
+            iu = jnp.clip((us * inv_ad * S).astype(jnp.int32), 0, S - 1)
+            iv = jnp.clip((vs * inv_ad * S).astype(jnp.int32), 0, S - 1)
+            b = iu * S + iv                          # (128, 256)
+            nw = (S * S + 15) // 16
+            word = jnp.zeros_like(b)
+            for w in range(nw):
+                gw = g[:, 48 + w:49 + w].astype(jnp.int32)   # (128, 1)
+                word = jnp.where((b >> 4) == w, gw, word)
+            hit = hit & (((word >> (b & 15)) & 1) > 0)
+        tt = jnp.where(hit & live, ts / jnp.where(ad > 0, ad, 1.0), BVH_FAR)
+        m = jnp.min(tt, axis=0).reshape(1, TILE)
+        am = jnp.argmin(tt, axis=0).astype(jnp.int32).reshape(1, TILE)
+        better = m < best_t
+        best_t = jnp.where(better, m, best_t)
+        best_i = jnp.where(better, sb * TRI_BLK + am, best_i)
+        return sb + 1, nxt, best_t, best_i
+
+    init = (jnp.int32(0), nsb > 0,
+            jnp.zeros((1, TILE), jnp.float32) + tmax,
+            jnp.zeros((1, TILE), jnp.int32))
+    _, _, best_t, best_i = lax.while_loop(cond, body, init)
+    t_ref[0, 0, :] = best_t[0]
+    i_ref[0, 0, :] = best_i[0]
+
+
+@partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s"))
+def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
+                     k_cap: int, interpret: bool = False, omap_s: int = 0):
+    """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
+    f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
+    (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
+    -> (t (T, 256), idx (T, 256)) with idx = position*4+lane into the key
+    list (same convention as mt_resolve over the gathered layout)."""
+    T = keys.shape[0]
+    nb = lbg.shape[2]
+    t_out, i_out = pl.pallas_call(
+        partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * TRI_BLK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _LPB)),
+        ],
+        interpret=interpret,
+    )(keys.reshape(T, 1, k_cap), counts.reshape(T, 1, 1), lbg,
+      tmax.reshape(T, 1, 1), o_t, d_t, gtab_flat)
+    return t_out.reshape(T, TILE), i_out.reshape(T, TILE)
+
+
+# --------------------------------------------------------------------------
 # full pipeline
 # --------------------------------------------------------------------------
 
@@ -477,11 +694,12 @@ def _decode_keys(keys):
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
-                                   "wf_cap_factor", "sort"))
+                                   "wf_cap_factor", "sort", "fused"))
 def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_leaves: int = 256, t_max=BVH_FAR,
                        interpret: bool = False, retrace: bool = True,
-                       wf_cap_factor: int = 8, sort: bool = False):
+                       wf_cap_factor: int = 8, sort: bool = False,
+                       fused: bool = True):
     """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
     origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
     Returns (Hits, per-tile overflow mask). With retrace=True overflowed
@@ -518,16 +736,18 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     live = keys_s != _I32MAX
     lrow = jnp.where(live, leaves, 0)
 
-    # per-triangle row gather straight into kernel layout ((T, K4, 48), no
-    # post-gather reshape across the 128-lane padding); dead entries point
-    # at an all-zero sentinel row (det = 0 -> never hits)
-    gflat = aux.gtab.reshape(-1, 48)
-    zrow = jnp.int32(gflat.shape[0])
-    gflat = jnp.concatenate([gflat, jnp.zeros((1, 48), jnp.float32)], axis=0)
-    lanes4 = jnp.arange(4, dtype=jnp.int32)
-    tri_idx = jnp.where(live[:, :, None], lrow[:, :, None] * 4 + lanes4,
-                        zrow).reshape(T, K * 4)
-    geom = gflat[tri_idx]                                # (T, K4, 48)
+    if not fused:
+        # per-triangle row gather straight into kernel layout ((T, K4, 48),
+        # no post-gather reshape across the 128-lane padding); dead entries
+        # point at an all-zero sentinel row (det = 0 -> never hits)
+        gflat = aux.gtab.reshape(-1, 48)
+        zrow = jnp.int32(gflat.shape[0])
+        gflat = jnp.concatenate(
+            [gflat, jnp.zeros((1, 48), jnp.float32)], axis=0)
+        lanes4 = jnp.arange(4, dtype=jnp.int32)
+        tri_idx = jnp.where(live[:, :, None], lrow[:, :, None] * 4 + lanes4,
+                            zrow).reshape(T, K * 4)
+        geom = gflat[tri_idx]                            # (T, K4, 48)
 
     # block gates in ray-t units: entry distance / max |d| over the tile.
     # Dead blocks gate at +inf so they never pass (t_far itself can reach
@@ -545,8 +765,14 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     d_t = jnp.transpose(d, (0, 2, 1))
     tmax = jnp.broadcast_to(
         jnp.asarray(t_max, jnp.float32), (T,)).reshape(T, 1, 1)
-    best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
-                                interpret=interpret)
+    if fused:
+        best_t, best_i = mt_resolve_fused(
+            keys_s, jnp.minimum(counts, K), lbg, tmax.reshape(T, 1),
+            o_c, d_t, aux.gtab_pad, k_cap=K,
+            interpret=interpret, omap_s=aux.omap_s)
+    else:
+        best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
+                                    interpret=interpret)
 
     # tri index in the sorted list -> leaf row + lane
     pos = best_i >> 2
@@ -564,7 +790,8 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         ov_ray = jnp.repeat(overflow, TILE)
         wf_tmax = jnp.where(ov_ray, tmax_r, 0.0)
         wf_hits, wf_ovf = intersect_wavefront(
-            bvh8, rays, t_max=wf_tmax, cap_factor=wf_cap_factor)
+            bvh8, rays, t_max=wf_tmax, cap_factor=wf_cap_factor,
+            omap=aux.omap)
         hits = Hits(
             t=jnp.where(ov_ray, wf_hits.t, hits.t),
             u=jnp.where(ov_ray, wf_hits.u, hits.u),
@@ -638,7 +865,7 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
         wf_tmax = jnp.where(ov_ray, jnp.float32(cutoff), 0.0)
         _, wf_occ, wf_ovf = intersect_wavefront(
             bvh8, rays, t_max=wf_tmax, cap_factor=wf_cap_factor,
-            any_hit=True)
+            any_hit=True, omap=aux.omap)
         occ = jnp.where(ov_ray, wf_occ, occ)
         overflow = overflow & wf_ovf
     return occ, overflow

@@ -73,12 +73,18 @@ def _t_key(t):
 @partial(jax.jit, static_argnames=("cap_factor", "any_hit"))
 def intersect_wavefront(
     bvh8: BVH8, rays: Rays, t_max=BVH_FAR, cap_factor: int = 3,
-    any_hit: bool = False,
+    any_hit: bool = False, omap=None,
 ):
     """Closest-hit (or any-hit) wavefront traversal.
 
     cap_factor bounds the frontier at cap_factor·R pairs; overflow drops
     pairs (returned flag reports it — raise cap_factor if it ever fires).
+
+    omap: optional (L, 4, S, S) bool opacity micromaps aligned with the
+    leaf-triangle table (ops.omap.leaf_align); a triangle hit whose
+    barycentric cell is transparent is discarded (≙ the reference's
+    in-traversal omap test, tiny_bvh.h:8514-8522 — consulted in its fast
+    engines too, which this wavefront is the analog of).
     """
     from tinybvh_tpu.layouts.cwbvh import BVH8Q, dequantize_bounds
 
@@ -150,10 +156,16 @@ def intersect_wavefront(
         gv0 = geom[:, 0:12].reshape(-1, 4, 3)
         ge1 = geom[:, 12:24].reshape(-1, 4, 3)
         ge2 = geom[:, 24:36].reshape(-1, 4, 3)
-        hit, th, _, _ = moller_trumbore(
+        hit, th, uu, vv = moller_trumbore(
             o[:, None, :], d[:, None, :], gv0, ge1, ge2,
             tb[:, None],
         )
+        if omap is not None:
+            S = omap.shape[-1]
+            iu = jnp.clip((uu * S).astype(jnp.int32), 0, S - 1)
+            iv = jnp.clip((vv * S).astype(jnp.int32), 0, S - 1)
+            lanes4 = jnp.arange(4, dtype=jnp.int32)
+            hit = hit & omap[lrow[:, None], lanes4[None, :], iu, iv]
         th = jnp.where(hit & is_leaf[:, None], th, BVH_FAR)
         lbest = jnp.argmin(th, axis=1)
         cand_t = jnp.min(th, axis=1)  # (P,)
@@ -248,6 +260,7 @@ def _rank_to_lane(rank, valid):
     return jnp.sum(onehot * lanes8[:, None], axis=1, dtype=jnp.int32)
 
 
-def is_occluded_wavefront(bvh8: BVH8, rays: Rays, t_max):
-    _, occ, _ = intersect_wavefront(bvh8, rays, t_max, any_hit=True)
+def is_occluded_wavefront(bvh8: BVH8, rays: Rays, t_max, omap=None):
+    _, occ, _ = intersect_wavefront(bvh8, rays, t_max, any_hit=True,
+                                    omap=omap)
     return occ
