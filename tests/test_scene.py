@@ -79,6 +79,45 @@ def test_node_animation_moves_geometry():
     assert int(s.intersect(ray1).prim[0]) == 0
 
 
+def test_cubic_spline_animation():
+    """CUBICSPLINE samplers (≙ tiny_scene.h:2389-2686): Hermite
+    interpolation must pass through keyframe values, respect tangents at
+    the midpoint, and reduce to LINEAR when tangents are zero... (zero
+    tangents give the smoothstep blend, not linear — check midpoint)."""
+    tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    s = Scene()
+    mid = s.add_mesh(Mesh(tris=tri))
+    nid = s.add_instance(mid)
+    s.nodes[nid].matrix = None
+    # (K, 3, D): in-tangent, value, out-tangent per key
+    vals = np.zeros((2, 3, 3), np.float32)
+    vals[0, 1] = [0, 0, 0]
+    vals[1, 1] = [10, 0, 0]
+    s.animations.append(Animation([dict(
+        node=nid, path="translation",
+        times=np.array([0.0, 1.0]),
+        values=vals, interp="CUBICSPLINE",
+    )]))
+    s.update(0.0)
+    assert np.allclose(s.nodes[nid].translation, [0, 0, 0])
+    s.update(1.0 - 1e-6)
+    assert np.allclose(s.nodes[nid].translation, [10, 0, 0], atol=1e-3)
+    s.update(0.5)  # smoothstep(0.5) = 0.5 with zero tangents
+    assert np.allclose(s.nodes[nid].translation, [5, 0, 0], atol=1e-4)
+    s.update(0.25)  # smoothstep(0.25) = 0.15625
+    assert np.allclose(s.nodes[nid].translation, [1.5625, 0, 0], atol=1e-3)
+    # non-zero out-tangent bends the start of the curve upward
+    vals2 = vals.copy()
+    vals2[0, 2] = [20, 0, 0]
+    s.animations[0] = Animation([dict(
+        node=nid, path="translation", times=np.array([0.0, 1.0]),
+        values=vals2, interp="CUBICSPLINE")])
+    s.update(0.25)
+    # h3(0.25)·dt·b0 = (s³-2s²+s)·20 = (0.015625-0.125+0.25)·20 = 2.8125
+    assert np.allclose(s.nodes[nid].translation,
+                       [1.5625 + 2.8125, 0, 0], atol=1e-3)
+
+
 def test_morph_targets_deform():
     tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
     m = Mesh(tris=tri)
@@ -203,3 +242,63 @@ def test_scene_shading_tables_feed_textured_tracer():
     assert lit.any()
     np.testing.assert_allclose(rad_grey[lit], 0.5 * rad_white[lit],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_multi_file_composition_and_collapse():
+    """≙ Scene::AddScene multi-file composition with base offsets +
+    an extra root transform node (tiny_scene.h:3016-3166) and
+    CollapseMeshes (tiny_scene.h:3456-3524)."""
+    s = Scene()
+    r1 = s.add_gltf(GLTF)
+    n_nodes1 = len(s.nodes)
+    n_meshes1 = len(s.meshes)
+    shift = np.eye(4, dtype=np.float32)
+    shift[0, 3] = 100.0
+    r2 = s.add_gltf(GLTF, transform=shift)
+    assert len(s.meshes) == 2 * n_meshes1
+    assert r2 > r1 and len(s.roots) == 2
+    # second copy's nodes reference second copy's meshes
+    second_meshes = {s.nodes[i].mesh for i in range(n_nodes1, len(s.nodes))
+                     if s.nodes[i].mesh >= 0}
+    assert all(m >= n_meshes1 for m in second_meshes)
+    s.update(0.0)
+    # world center of copy 1 from a single-file reference scene
+    s1 = Scene.from_gltf(GLTF)
+    s1.update(0.0)
+    b = s1.tlas.bounds[0].reshape(6, 8)
+    lo = np.asarray(b[:3]).min(axis=1)
+    hi = np.asarray(b[3:]).max(axis=1)
+    center = ((lo + hi) / 2).astype(np.float32)
+    ext = float((hi - lo).max())
+
+    rng = np.random.default_rng(0)
+    from tinybvh_tpu.core.rays import make_rays
+
+    def hit_fraction(target):
+        eye = target + np.array([0, 0, 2 * ext], np.float32)
+        d = (target[None] + rng.uniform(-0.2, 0.2, (64, 3)) * ext
+             - eye[None])
+        d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+        h = s.intersect(make_rays(
+            np.tile(eye[None], (64, 1)).astype(np.float32), d))
+        return (np.asarray(h.prim) >= 0).mean()
+
+    # both copies must be hittable, the second shifted by +100x
+    assert hit_fraction(center) > 0.3
+    shifted = center + np.array([100, 0, 0], np.float32)
+    assert hit_fraction(shifted) > 0.3
+
+    # collapse the shifted copy into one static mesh — still hittable
+    mid = s.collapse_meshes(r2)
+    assert s.meshes[mid].tris.shape[0] > 0
+    s.update(0.0)
+    assert hit_fraction(shifted) > 0.3
+
+
+def test_texture_dedup_by_origin():
+    s = Scene()
+    img = np.random.default_rng(0).random((4, 4, 3)).astype(np.float32)
+    t1 = s.add_texture(img, origin="foo.png")
+    t2 = s.add_texture(img * 0.5, origin="foo.png")  # same origin: dedup
+    t3 = s.add_texture(img, origin="bar.png")
+    assert t1 == t2 and t3 != t1 and len(s.textures) == 2

@@ -284,15 +284,78 @@ def optimize_reinsertion(
     return v.to_bvh2()
 
 
-def epo_cost(bvh: BVH2, tris, w_epo: float = 0.71) -> float:
+def _clip_polys(V, n, ax, bound, keep_ge):
+    """Batched Sutherland-Hodgman clip of P polygons against one axis
+    plane. V: (P, C, 3) vertex slots, n: (P,) live counts. Returns new
+    (V, n); capacity C must exceed max(n)+1."""
+    P, C, _ = V.shape
+    slots = np.arange(C)[None, :]                       # (1, C)
+    live = slots < n[:, None]
+    nxt_ix = (slots + 1) % np.maximum(n[:, None], 1)
+    a = V
+    b = np.take_along_axis(V, nxt_ix[:, :, None], axis=1)
+    av = a[:, :, ax]
+    bv = b[:, :, ax]
+    a_in = (av >= bound[:, None]) if keep_ge else (av <= bound[:, None])
+    b_in = (bv >= bound[:, None]) if keep_ge else (bv <= bound[:, None])
+    a_in &= live
+    b_in &= live
+    cross = live & (a_in != b_in)
+    den = bv - av
+    tt = np.where(np.abs(den) > 1e-20, (bound[:, None] - av) / den, 0.0)
+    tt = np.clip(tt, 0.0, 1.0)
+    inter = a + tt[:, :, None] * (b - a)
+    # each edge emits: [a if a_in] then [inter if crossing]
+    emit_n = a_in.astype(np.int64) + cross.astype(np.int64)
+    offs = np.cumsum(emit_n, axis=1) - emit_n           # (P, C)
+    new_n = emit_n.sum(axis=1)
+    out = np.zeros_like(V)
+    rows = np.broadcast_to(np.arange(P)[:, None], (P, C))
+    r1, c1 = rows[a_in], offs[a_in]
+    out[r1, c1] = a[a_in]
+    r2, c2 = rows[cross], (offs + a_in)[cross]
+    out[r2, c2] = inter[cross]
+    return out, new_n
+
+
+def _clipped_areas(tri, lo, hi):
+    """Area of each triangle clipped to its AABB [lo, hi]. tri (P, 3, 3);
+    lo/hi (P, 3). Vectorized 6-plane Sutherland-Hodgman (capacity 10:
+    3 verts + one per plane)."""
+    P = tri.shape[0]
+    if P == 0:
+        return np.zeros(0, np.float64)
+    V = np.zeros((P, 10, 3), np.float64)
+    V[:, :3] = tri
+    n = np.full(P, 3, np.int64)
+    for ax in range(3):
+        V, n = _clip_polys(V, n, ax, lo[:, ax].astype(np.float64), True)
+        V, n = _clip_polys(V, n, ax, hi[:, ax].astype(np.float64), False)
+    # fan area over live vertices
+    slots = np.arange(10)[None, :]
+    e1 = V[:, 1:9] - V[:, 0:1]
+    e2 = V[:, 2:10] - V[:, 0:1]
+    tri_a = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=2)   # (P, 8)
+    fan_live = (slots[:, 2:10] < n[:, None]) & (n[:, None] >= 3)
+    return (tri_a * fan_live).sum(axis=1)
+
+
+def epo_cost(bvh: BVH2, tris, w_epo: float = 0.71,
+             chunk: int = 256) -> float:
     """End-point-overlap blended cost (≙ EPOCost, tiny_bvh.h:1972-1986).
 
-    For every interior subtree, sums the clipped surface area of triangles
-    that overlap the subtree's AABB but do not belong to the subtree;
-    final metric = (1-w)·SAH + w·EPO/total_tri_area. Host-side; intended
-    for offline quality reporting (tiny_bvh_optimizer.cpp stage 3).
+    For every subtree, sums the clipped surface area of triangles that
+    overlap the subtree's AABB but do not belong to the subtree; final
+    metric = (1-w)·SAH + w·EPO/total_tri_area.
+
+    Vectorized: subtree membership reduces to a range test in DFS leaf
+    order (one iterative DFS assigns each node a contiguous [start, end)
+    span), node×triangle overlap is tested in node chunks, and all clipped
+    areas are computed by one batched 6-plane Sutherland–Hodgman — runs on
+    69k-tri scenes in seconds instead of the former per-triangle Python
+    loops. Host-side; intended for offline quality reporting
+    (tiny_bvh_optimizer.cpp stage 3).
     """
-    from tinybvh_tpu.builders.sbvh import clip_tris_to_slab
     from tinybvh_tpu.layouts.bvh2 import sah_cost
 
     tris = np.asarray(tris, np.float32)
@@ -302,83 +365,54 @@ def epo_cost(bvh: BVH2, tris, w_epo: float = 0.71) -> float:
     ct = np.asarray(bvh.count)
     pidx = np.asarray(bvh.prim_idx)
 
-    # subtree prim sets via DFS
+    # DFS leaf order: every subtree covers a contiguous span of it
+    M = mn.shape[0]
+    start = np.zeros(M, np.int64)
+    end = np.zeros(M, np.int64)
+    pos = np.zeros(tris.shape[0], np.int64)   # prim -> DFS position
+    nodes = []
+    cursor = 0
+    stack = [(0, False)]
+    post = []
+    while stack:
+        i, done = stack.pop()
+        if done:
+            end[i] = cursor
+            continue
+        nodes.append(i)
+        start[i] = cursor
+        if ct[i] > 0:
+            prims = pidx[lf[i]: lf[i] + ct[i]]
+            pos[prims] = np.arange(cursor, cursor + len(prims))
+            cursor += len(prims)
+            end[i] = cursor
+        else:
+            stack.append((i, True))
+            stack.append((int(lf[i]) + 1, False))
+            stack.append((int(lf[i]), False))
+
     def tri_area(t):
         e1 = t[:, 1] - t[:, 0]
         e2 = t[:, 2] - t[:, 0]
         return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
 
     total_area = float(tri_area(tris).sum())
-    epo = 0.0
-    # collect subtree membership
-    members = {}
-
-    def collect(i):
-        if ct[i] > 0:
-            s = set(pidx[lf[i] : lf[i] + ct[i]].tolist())
-        else:
-            s = collect(lf[i]) | collect(lf[i] + 1)
-        members[i] = s
-        return s
-
-    import sys
-
-    old = sys.getrecursionlimit()
-    sys.setrecursionlimit(100000)
-    try:
-        collect(0)
-    finally:
-        sys.setrecursionlimit(old)
-
     tmin = tris.min(axis=1)
     tmax = tris.max(axis=1)
-    for i, s in members.items():
-        if i == 0:
+
+    node_ids = np.array([i for i in nodes if i != 0], np.int64)
+    epo = 0.0
+    for c0 in range(0, node_ids.size, chunk):
+        c = node_ids[c0: c0 + chunk]
+        ov = ((tmin[None, :, :] <= mx[c][:, None, :]).all(axis=2)
+              & (tmax[None, :, :] >= mn[c][:, None, :]).all(axis=2))
+        member = ((pos[None, :] >= start[c][:, None])
+                  & (pos[None, :] < end[c][:, None]))
+        nix, tix = np.nonzero(ov & ~member)
+        if nix.size == 0:
             continue
-        overlap = np.nonzero(
-            (tmin <= mx[i]).all(axis=1) & (tmax >= mn[i]).all(axis=1)
-        )[0]
-        out = np.array([p for p in overlap if p not in s], np.int64)
-        if out.size == 0:
-            continue
-        # clip those triangles against the node box (3 sequential slabs)
-        t = tris[out]
-        area = np.zeros(out.size, np.float32)
-        # clip against x/y/z slabs via polygon area after SH clipping: use
-        # AABB-clipped triangle area approximation: clip per axis with
-        # clip_tris_to_slab only yields boxes; compute exact clipped area
-        # via polygon clipping here (small sets, python ok)
-        for j, ti in enumerate(t):
-            poly = [ti[0], ti[1], ti[2]]
-            for ax in range(3):
-                for keep_ge, bound in ((True, mn[i][ax]), (False, mx[i][ax])):
-                    new = []
-                    for k in range(len(poly)):
-                        a_, b_ = poly[k], poly[(k + 1) % len(poly)]
-                        ain = a_[ax] >= bound if keep_ge else a_[ax] <= bound
-                        bin_ = b_[ax] >= bound if keep_ge else b_[ax] <= bound
-                        if ain:
-                            new.append(a_)
-                        if ain != bin_:
-                            den = float(b_[ax] - a_[ax])
-                            tt = ((bound - a_[ax]) / den
-                                  if abs(den) > 1e-20 else 0.0)
-                            tt = min(max(tt, 0.0), 1.0)
-                            new.append(a_ + tt * (b_ - a_))
-                    poly = new
-                    if len(poly) < 3:
-                        break
-                if len(poly) < 3:
-                    break
-            if len(poly) >= 3:
-                p0 = poly[0]
-                ar = 0.0
-                for k in range(1, len(poly) - 1):
-                    ar += 0.5 * np.linalg.norm(
-                        np.cross(poly[k] - p0, poly[k + 1] - p0)
-                    )
-                area[j] = ar
-        epo += float(area.sum())
+        areas = _clipped_areas(tris[tix], mn[c][nix], mx[c][nix])
+        epo += float(areas.sum())
 
     sah = float(sah_cost(bvh))
     return (1.0 - w_epo) * sah + w_epo * epo / max(total_area, 1e-30)

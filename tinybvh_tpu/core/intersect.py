@@ -3,7 +3,10 @@
 TPU-native counterparts of the reference's core queries:
   * AABB slab test        — tinybvh_intersect_aabb (tiny_bvh.h:711-723)
   * Möller–Trumbore       — MOLLER_TRUMBORE macro (tiny_bvh.h:1644-1656)
-  * watertight (Woop)     — IntersectTriWatertight (tiny_bvh.h:8486-8507)
+  * watertight (Woop)     — the WATERTIGHT_TRITEST path of
+                            BVHBase::IntersectTri (tiny_bvh.h:8486-8507)
+  * Baldwin–Weber         — PrecomputeTriangle + transformed-coordinate
+                            test (tiny_bvh.h:8577-8604)
   * sphere–triangle       — used by BVH::IntersectSphere (tiny_bvh.h:3140)
 
 All functions are batched over arbitrary leading axes and jit/vmap friendly.
@@ -61,6 +64,107 @@ def moller_trumbore(o, d, v0, e1, e2, t_cur, backface_cull: bool = False):
         & (t > 0.0)
         & (t < t_cur)
     )
+    return hit, jnp.where(hit, t, BVH_FAR), u, v
+
+
+def moller_trumbore_watertight(o, d, rd, v0, v1, v2, t_cur):
+    """Batched watertight ray/triangle test (Woop, Benthin & Wald 2013) —
+    ≙ the WATERTIGHT_TRITEST path of BVHBase::IntersectTri
+    (tiny_bvh.h:8486-8507). Rays crossing an edge or vertex shared by
+    adjacent triangles are guaranteed to hit at least one of them (the
+    edge-function signs are computed in a shear-transformed frame, so
+    shared edges evaluate identically for both triangles).
+
+    o, d, rd: (..., 3) ray origin / direction / reciprocal direction;
+    v0, v1, v2: (..., 3) triangle vertices; t_cur: (...,).
+    Returns (hit, t, u, v).
+    """
+    kz = jnp.argmax(jnp.abs(d), axis=-1)
+    kx0 = (kz + 1) % 3
+    ky0 = (kz + 2) % 3
+
+    def comp(vec, k):
+        return jnp.take_along_axis(vec, k[..., None], axis=-1)[..., 0]
+
+    neg = comp(d, kz) < 0.0
+    kx = jnp.where(neg, ky0, kx0)
+    ky = jnp.where(neg, kx0, ky0)
+    Sz = comp(rd, kz)
+    Sx = comp(d, kx) * Sz
+    Sy = comp(d, ky) * Sz
+    # reference naming: C = v0 - O, A = v1 - O, B = v2 - O
+    C, A, B = v0 - o, v1 - o, v2 - o
+    Ax = comp(A, kx) - Sx * comp(A, kz)
+    Ay = comp(A, ky) - Sy * comp(A, kz)
+    Bx = comp(B, kx) - Sx * comp(B, kz)
+    By = comp(B, ky) - Sy * comp(B, kz)
+    Cx = comp(C, kx) - Sx * comp(C, kz)
+    Cy = comp(C, ky) - Sy * comp(C, kz)
+    U = Cx * By - Cy * Bx
+    V = Ax * Cy - Ay * Cx
+    W = Bx * Ay - By * Ax
+    same_sign = ((U >= 0) & (V >= 0) & (W >= 0)) | (
+        (U <= 0) & (V <= 0) & (W <= 0))
+    det = U + V + W
+    inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
+    T = (U * Sz * comp(A, kz) + V * Sz * comp(B, kz)
+         + W * Sz * comp(C, kz))
+    t = T * inv_det
+    u = U * inv_det
+    v = V * inv_det
+    hit = same_sign & (det != 0.0) & (t >= 0.0) & (t < t_cur)
+    return hit, jnp.where(hit, t, BVH_FAR), u, v
+
+
+def precompute_baldwin_weber(tris):
+    """(N, 3, 3) triangles → (N, 12) Baldwin–Weber transform rows
+    (≙ BVHBase::PrecomputeTriangle, tiny_bvh.h:8577-8604): a world→
+    barycentric affine map stored per triangle, branchlessly merging the
+    reference's three dominant-normal-axis layouts."""
+    tris = jnp.asarray(tris, jnp.float32)
+    v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    nd = jnp.einsum("ij,ij->i", v0, n)
+    dom = jnp.argmax(jnp.abs(n), axis=-1)               # dominant axis
+
+    def rows_for(ax):
+        """T rows when |n[ax]| dominates; ax static 0/1/2."""
+        a1 = (ax + 1) % 3
+        a2 = (ax + 2) % 3
+        x1 = v1[:, a1] * v0[:, a2] - v1[:, a2] * v0[:, a1]
+        x2 = v2[:, a1] * v0[:, a2] - v2[:, a2] * v0[:, a1]
+        rn = 1.0 / jnp.where(n[:, ax] != 0, n[:, ax], 1.0)
+        T = jnp.zeros((tris.shape[0], 12), jnp.float32)
+        T = T.at[:, ax].set(0.0).at[:, a1].set(e2[:, a2] * rn)
+        T = T.at[:, a2].set(-e2[:, a1] * rn).at[:, 3].set(x2 * rn)
+        T = T.at[:, 4 + ax].set(0.0).at[:, 4 + a1].set(-e1[:, a2] * rn)
+        T = T.at[:, 4 + a2].set(e1[:, a1] * rn).at[:, 7].set(-x1 * rn)
+        T = T.at[:, 8 + ax].set(1.0).at[:, 8 + a1].set(n[:, a1] * rn)
+        T = T.at[:, 8 + a2].set(n[:, a2] * rn).at[:, 11].set(-nd * rn)
+        return T
+
+    T0, T1, T2 = rows_for(0), rows_for(1), rows_for(2)
+    T = jnp.where((dom == 0)[:, None], T0,
+                  jnp.where((dom == 1)[:, None], T1, T2))
+    return jnp.where((jnp.abs(n) > 0).any(-1)[:, None], T, 0.0)
+
+
+def intersect_baldwin_weber(o, d, T, t_cur):
+    """Batched Baldwin–Weber ray/triangle test over precomputed (..., 12)
+    transform rows (the format the reference feeds CWBVH compressed
+    triangles, tiny_bvh.h:6004-6009). Returns (hit, t, u, v)."""
+    tr = T[..., 8:11]
+    num = jnp.einsum("...i,...i->...", tr, o) + T[..., 11]
+    den = jnp.einsum("...i,...i->...", tr, d)
+    ok = jnp.abs(den) > 1e-20
+    t = -num / jnp.where(ok, den, 1.0)
+    p = o + t[..., None] * d
+    u = jnp.einsum("...i,...i->...", T[..., 0:3], p) + T[..., 3]
+    v = jnp.einsum("...i,...i->...", T[..., 4:7], p) + T[..., 7]
+    hit = (ok & (t > 0.0) & (t < t_cur)
+           & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
     return hit, jnp.where(hit, t, BVH_FAR), u, v
 
 

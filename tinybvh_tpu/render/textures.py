@@ -81,6 +81,82 @@ def sample_atlas(tex, tex_id, uv):
     return jnp.where((tex_id >= 0)[:, None], col, 1.0)
 
 
+def srgb_to_linear(img):
+    """sRGB → linear transfer (≙ the reference's sRGB conversion on texture
+    load, tiny_scene.h Texture flags/2688-2760). Accepts any (..., C)
+    float array in [0, 1]."""
+    img = np.asarray(img, np.float32)
+    lo = img / 12.92
+    hi = ((img + 0.055) / 1.055) ** 2.4
+    return np.where(img <= 0.04045, lo, hi).astype(np.float32)
+
+
+def build_mip_chain(img, max_levels: int = 16):
+    """Box-filtered MIP chain (≙ Texture::ConstructMIPmaps,
+    tiny_scene.h:2726-2753). Returns [level0, level1, ...] down to 1x1;
+    odd dimensions are truncated like the reference's >>1."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    chain = [img]
+    while len(chain) < max_levels and min(img.shape[0], img.shape[1]) > 1:
+        h2, w2 = max(img.shape[0] // 2, 1), max(img.shape[1] // 2, 1)
+        img = img[: h2 * 2, : w2 * 2]
+        img = img.reshape(h2, 2, w2, 2, img.shape[-1]).mean(axis=(1, 3))
+        chain.append(img.astype(np.float32))
+    return chain
+
+
+def bump_to_normal(height, strength: float = 1.0):
+    """Height/bump map → tangent-space normal map (≙ the reference's
+    bump-to-normal conversion, tiny_scene.h:2862-2911): central differences
+    with wrap addressing, normals encoded in [0, 1]."""
+    h = np.asarray(height, np.float32)
+    if h.ndim == 3:
+        h = h.mean(axis=-1)
+    dx = (np.roll(h, -1, axis=1) - np.roll(h, 1, axis=1)) * 0.5 * strength
+    dy = (np.roll(h, -1, axis=0) - np.roll(h, 1, axis=0)) * 0.5 * strength
+    n = np.stack([-dx, -dy, np.ones_like(h)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n * 0.5 + 0.5).astype(np.float32)
+
+
+def build_atlas_mipped(images, max_levels: int = 8):
+    """Atlas whose rect table carries a full MIP pyramid per texture:
+    rects is (T, L, 4) and `sample_atlas_mip` selects the level per ray.
+    Missing levels repeat the last (1x1-ish) one so the table is dense."""
+    if not images:
+        base = build_atlas(images)
+        return dict(atlas=base["atlas"],
+                    rects=base["rects"][:, None, :].repeat(max_levels, 1))
+    chains = [build_mip_chain(im, max_levels) for im in images]
+    flat = []
+    index = []
+    for ch in chains:
+        index.append((len(flat), len(ch)))
+        flat.extend(ch)
+    packed = build_atlas(flat)
+    T = len(images)
+    rects = np.zeros((T, max_levels, 4), np.float32)
+    pr = np.asarray(packed["rects"])
+    for t, (off, n) in enumerate(index):
+        for l in range(max_levels):
+            rects[t, l] = pr[off + min(l, n - 1)]
+    return dict(atlas=packed["atlas"], rects=jnp.asarray(rects))
+
+
+def sample_atlas_mip(tex, tex_id, uv, level):
+    """Bilinear sample at an integer MIP level per ray. tex from
+    build_atlas_mipped; level (R,) int32 clamped to the table."""
+    rects = tex["rects"]                      # (T, L, 4)
+    L = rects.shape[1]
+    lvl = jnp.clip(level, 0, L - 1)
+    tid = jnp.maximum(tex_id, 0)
+    flat = dict(atlas=tex["atlas"],
+                rects=rects.reshape(-1, 4))
+    return sample_atlas(flat, jnp.where(tex_id >= 0, tid * L + lvl, -1), uv)
+
+
 def sample_sky(sky, d):
     """Equirectangular sky lookup, jitted (≙ SkyDome sampling,
     tiny_scene.h:1024-1079). sky (H, W, 3); d (R, 3) unit directions."""

@@ -72,7 +72,10 @@ class Animation:
     """Sampler+channel animation (≙ tiny_scene.h:607-647, 2389-2686).
 
     channels: list of dicts {node, path ('translation'|'rotation'|'scale'|
-    'weights'), times (K,), values (K, …), interp ('LINEAR'|'STEP')}.
+    'weights'), times (K,), values (K, …), interp ('LINEAR'|'STEP'|
+    'CUBICSPLINE')}. CUBICSPLINE values are (K, 3, D) glTF
+    (in_tangent, value, out_tangent) triples, evaluated with the standard
+    Hermite basis (≙ the SPLINE sampler of tiny_scene.h:2389-2686).
     """
 
     def __init__(self, channels, name=""):
@@ -92,7 +95,23 @@ class Animation:
             k = int(np.searchsorted(times, t, side="right") - 1)
             k = max(0, min(k, len(times) - 1))
             k2 = min(k + 1, len(times) - 1)
-            if ch.get("interp", "LINEAR") == "STEP" or k2 == k:
+            interp = ch.get("interp", "LINEAR")
+            if interp == "CUBICSPLINE":
+                if k2 == k:
+                    v = vals[k][1]
+                else:
+                    dt = max(float(times[k2] - times[k]), 1e-9)
+                    s = min(max((t - float(times[k])) / dt, 0.0), 1.0)
+                    s2, s3 = s * s, s * s * s
+                    vk, bk = vals[k][1], vals[k][2]     # value, out-tangent
+                    ak2, vk2 = vals[k2][0], vals[k2][1]  # in-tangent, value
+                    v = ((2 * s3 - 3 * s2 + 1) * vk
+                         + dt * (s3 - 2 * s2 + s) * bk
+                         + (-2 * s3 + 3 * s2) * vk2
+                         + dt * (s3 - s2) * ak2)
+                if ch["path"] == "rotation":
+                    v = v / max(np.linalg.norm(v), 1e-9)
+            elif interp == "STEP" or k2 == k:
                 v = vals[k]
             else:
                 span = max(float(times[k2] - times[k]), 1e-9)
@@ -214,24 +233,54 @@ class Scene:
                  mat_id=np.full(2, material, np.int32))
         return self.add_mesh(m, policy=policy)
 
-    @classmethod
-    def from_gltf(cls, path: str) -> "Scene":
-        """≙ Scene::AddScene's glTF branch (tiny_scene.h:3016-3166)."""
-        from tinybvh_tpu.scene.mesh import load_gltf
+    def add_texture(self, data, name: str = "", origin=None) -> int:
+        """Register a texture; identical `origin` keys return the existing
+        id (≙ the reference's dedup by dir-file-index origin key,
+        tiny_scene.h:3016-3166 / FindOrCreateTexture)."""
+        if not hasattr(self, "_tex_by_origin"):
+            self._tex_by_origin = {}
+        if origin is not None and origin in self._tex_by_origin:
+            return self._tex_by_origin[origin]
+        self.textures.append(Texture(data=np.asarray(data, np.float32),
+                                     name=name))
+        tid = len(self.textures) - 1
+        if origin is not None:
+            self._tex_by_origin[origin] = tid
+        return tid
+
+    def add_gltf(self, path: str, transform=None) -> int:
+        """Compose a glTF file into THIS scene: meshes/materials/nodes/
+        skins/animations are appended with base offsets and an extra root
+        transform node wraps the file's scene (≙ Scene::AddScene's
+        multi-file composition, tiny_scene.h:3016-3166). Returns the new
+        root node id."""
+        from tinybvh_tpu.scene.mesh import _accessor, load_gltf
 
         data = load_gltf(path)
-        s = cls()
-        s.meshes = data["meshes"]
-        for i in range(len(s.meshes)):
-            s.bvh_policy[i] = s.default_policy
-            s._blas_dirty.add(i)
-        s.materials = data["materials"]
+        # replace the default material if the scene is still pristine so a
+        # single-file load keeps the file's material ids unshifted
+        if not self.meshes and len(self.materials) == 1 and not any(
+                n.mesh >= 0 for n in self.nodes):
+            self.materials = []
+        mesh_base = len(self.meshes)
+        mat_base = len(self.materials)
+        node_base = len(self.nodes)
+        skin_base = len(self.skins)
+
+        for mesh in data["meshes"]:
+            if mesh.mat_id is not None:
+                mesh.mat_id = mesh.mat_id + mat_base
+            self.add_mesh(mesh)
+        self.materials.extend(data["materials"])
+
         g = data["gltf"]
         for gn in data["nodes"]:
             n = Node(
                 name=gn.get("name", ""),
-                mesh=gn.get("mesh", -1),
-                skin=gn.get("skin", -1),
+                mesh=gn.get("mesh", -1) + (mesh_base
+                                           if "mesh" in gn else 0),
+                skin=gn.get("skin", -1) + (skin_base
+                                           if "skin" in gn else 0),
             )
             if "matrix" in gn:
                 n.matrix = np.asarray(gn["matrix"], np.float32).reshape(4, 4).T
@@ -240,19 +289,27 @@ class Scene:
             n.rotation = np.asarray(
                 gn.get("rotation", [0, 0, 0, 1]), np.float32)
             n.scale = np.asarray(gn.get("scale", [1, 1, 1]), np.float32)
-            n.children = list(gn.get("children", []))
-            s.nodes.append(n)
+            n.children = [c + node_base for c in gn.get("children", [])]
+            self.nodes.append(n)
         scene_def = (g.get("scenes") or [{}])[g.get("scene", 0)]
-        s.roots = list(scene_def.get("nodes", range(len(s.nodes))))
-        # skins
-        from tinybvh_tpu.scene.mesh import _accessor
+        file_roots = [r + node_base for r in
+                      scene_def.get("nodes", range(len(data["nodes"])))]
+        # extra root transform node wrapping the whole file
+        root = Node(name=f"{path}#root")
+        if transform is not None:
+            root.matrix = np.asarray(transform, np.float32)
+        root.children = file_roots
+        self.nodes.append(root)
+        root_id = len(self.nodes) - 1
+        self.roots.append(root_id)
 
         for sk in data["skins"]:
             ibm = _accessor(g, data["buffers"], sk["inverseBindMatrices"])
             ibm = np.asarray(ibm, np.float32).reshape(-1, 4, 4)
             ibm = np.transpose(ibm, (0, 2, 1))  # column→row major
-            s.skins.append(Skin(joints=list(sk["joints"]), inverse_bind=ibm))
-        # animations
+            self.skins.append(Skin(
+                joints=[j + node_base for j in sk["joints"]],
+                inverse_bind=ibm))
         for ga in data["animations"]:
             chans = []
             for ch in ga.get("channels", []):
@@ -262,15 +319,74 @@ class Scene:
                 vals = np.atleast_1d(
                     _accessor(g, data["buffers"], sampler["output"]))
                 tgt = ch["target"]
+                interp = sampler.get("interpolation", "LINEAR")
                 if tgt["path"] == "weights" and len(times):
                     vals = vals.reshape(len(times), -1)
+                if interp == "CUBICSPLINE" and len(times):
+                    # glTF stores (in_tangent, value, out_tangent) triples
+                    vals = vals.reshape(len(times), 3, -1)
                 chans.append(dict(
-                    node=tgt["node"], path=tgt["path"], times=times,
-                    values=vals,
-                    interp=sampler.get("interpolation", "LINEAR"),
+                    node=tgt["node"] + node_base, path=tgt["path"],
+                    times=times, values=vals, interp=interp,
                 ))
-            s.animations.append(Animation(chans, ga.get("name", "")))
+            self.animations.append(Animation(chans, ga.get("name", "")))
+        return root_id
+
+    @classmethod
+    def from_gltf(cls, path: str) -> "Scene":
+        """≙ Scene::AddScene's glTF branch (tiny_scene.h:3016-3166)."""
+        s = cls()
+        s.add_gltf(path)
         return s
+
+    def collapse_meshes(self, root_id: int) -> int:
+        """Merge every mesh under `root_id`'s subtree into ONE static mesh
+        in that subtree's local frame (≙ Scene::CollapseMeshes,
+        tiny_scene.h:3456-3524). Subtree nodes lose their mesh refs; the
+        merged mesh is attached to root_id. Returns the new mesh id."""
+        parts_t, parts_n, parts_uv, parts_m = [], [], [], []
+
+        def visit(nid, xform):
+            node = self.nodes[nid]
+            m = xform @ node.local_matrix() if nid != root_id else np.eye(
+                4, dtype=np.float32)
+            if node.mesh >= 0:
+                mesh = self.meshes[node.mesh]
+                v = mesh.tris.reshape(-1, 3)
+                v = v @ m[:3, :3].T + m[:3, 3]
+                parts_t.append(v.reshape(-1, 3, 3).astype(np.float32))
+                if mesh.normals is not None:
+                    nrm_m = np.linalg.inv(m[:3, :3]).T
+                    nn = mesh.normals.reshape(-1, 3) @ nrm_m.T
+                    nn /= np.maximum(
+                        np.linalg.norm(nn, axis=1, keepdims=True), 1e-20)
+                    parts_n.append(nn.reshape(-1, 3, 3).astype(np.float32))
+                if mesh.uvs is not None:
+                    parts_uv.append(mesh.uvs)
+                parts_m.append(mesh.mat_id if mesh.mat_id is not None
+                               else np.zeros(len(mesh.tris), np.int32))
+                node.mesh = -1
+            for c in node.children:
+                visit(c, m)
+
+        visit(root_id, np.eye(4, dtype=np.float32))
+        if not parts_t:
+            raise ValueError("no meshes under subtree")
+        n_tris = sum(len(p) for p in parts_t)
+        merged = Mesh(
+            tris=np.concatenate(parts_t),
+            normals=(np.concatenate(parts_n)
+                     if parts_n and sum(len(p) for p in parts_n) == n_tris
+                     else None),
+            uvs=(np.concatenate(parts_uv)
+                 if parts_uv and sum(len(p) for p in parts_uv) == n_tris
+                 else None),
+            mat_id=np.concatenate(parts_m),
+            name=f"collapsed:{root_id}",
+        )
+        mid = self.add_mesh(merged, policy="static")
+        self.nodes[root_id].mesh = mid
+        return mid
 
     # -- per-frame update (≙ UpdateSceneGraph, tiny_scene.h:3664-3697) ---
     def update(self, t: float):
