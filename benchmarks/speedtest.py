@@ -183,21 +183,48 @@ def main():
     bench("BVH8 (lockstep)",
           lambda r: intersect_bvh8(bvh8, r),
           lambda r: is_occluded_bvh8(bvh8, r, shadow_tmax))
+    # cap_factor 8: heavily-overlapped scenes overflow a 3x frontier and
+    # the harness would report a silently-truncated (invalid) trace
     bench("BVH8 (wavefront)",
-          lambda r: intersect_wavefront(bvh8, r, cap_factor=3)[0],
+          lambda r: intersect_wavefront(bvh8, r, cap_factor=8)[0],
           lambda r: is_occluded_wavefront(bvh8, r, shadow_tmax))
+    if jax.default_backend() != "cpu":
+        # packet2: scanline strips of 256 rays are valid "tiles" (any
+        # shared-origin coherent bundle works); compiled kernels only —
+        # interpret mode would take minutes on this batch
+        from tinybvh_tpu.traverse.packet2 import (
+            build_packet_aux, intersect_packets2,
+        )
+
+        aux = build_packet_aux(bvh8)
+        bench("BVH8 (packet2)",
+              lambda r: intersect_packets2(bvh8, aux, r, max_leaves=256)[0],
+              lambda r: is_occluded_wavefront(bvh8, r, shadow_tmax))
 
     if not args.skip_slow:
         print("\nOPTIMIZER")
         from tinybvh_tpu.builders.optimize import optimize_reinsertion
+        from tinybvh_tpu.layouts.mbvh import collapse_bvh2
 
         t0 = time.perf_counter()
-        opt = optimize_reinsertion(built["midpoint/median"], passes=8,
-                                   batch=128)
+        opt = optimize_reinsertion(built["midpoint/median"], passes=4,
+                                   batch=64)
         print(f"  reinsertion: median tree SAH "
               f"{float(sah_cost(built['midpoint/median'])):.2f} → "
               f"{float(sah_cost(opt)):.2f} "
               f"({time.perf_counter()-t0:.1f} s)")
+        # ≙ tiny_bvh_speedtest's "BVH8_CPU optimized" row: optimize the
+        # binned-SAH tree, re-collapse, and trace the same batch
+        t0 = time.perf_counter()
+        opt_sah = optimize_reinsertion(base, passes=4, batch=64)
+        sah_before = float(sah_cost(base))
+        sah_after = float(sah_cost(opt_sah))
+        print(f"  reinsertion: SAH tree {sah_before:.2f} → {sah_after:.2f} "
+              f"({time.perf_counter()-t0:.1f} s)")
+        bvh8_opt = collapse_bvh2(opt_sah, jnp.asarray(tris))
+        bench("BVH8 optimized",
+              lambda r: intersect_bvh8(bvh8_opt, r),
+              lambda r: is_occluded_bvh8(bvh8_opt, r, shadow_tmax))
 
 
 if __name__ == "__main__":

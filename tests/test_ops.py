@@ -183,3 +183,46 @@ def test_voxel_dda_random_rays_vs_sampling(rng):
         else:
             assert t[i] < BVH_FAR, i
             np.testing.assert_array_equal(v[i], ip[occ_hits[0]], err_msg=str(i))
+
+
+def test_voxel_topgrid_matches_two_level(rng):
+    """The 3-level DDA (topgrid, ≙ tiny_bvh.h:3809-3827) must return
+    exactly the same hits as the plain grid+brick walk."""
+    from tinybvh_tpu.ops.voxel import VoxelSet, intersect_voxels
+
+    v = VoxelSet()
+    # sparse clusters far apart — the config the topgrid accelerates
+    pts = (rng.integers(0, 4, (40, 3)) * 64
+           + rng.integers(0, 8, (40, 3))).astype(np.int64)
+    v.set(pts[:, 0], pts[:, 1], pts[:, 2])
+    vox = v.freeze()
+    vox2 = {k: val for k, val in vox.items() if k != "top"}
+
+    o = rng.uniform(-0.5, 1.5, (256, 3)).astype(np.float32)
+    tgt = (pts[rng.integers(0, 40, 256)] + 0.5) / 256.0
+    d = tgt.astype(np.float32) - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    t3, n3, v3 = intersect_voxels(vox, rays)
+    t2, n2, v2 = intersect_voxels(vox2, rays)
+    np.testing.assert_allclose(np.asarray(t3), np.asarray(t2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(v3), np.asarray(v2))
+    assert (np.asarray(t3) < 1e29).mean() > 0.5  # rays aimed at voxels hit
+
+
+def test_save_load_bvh8q(tmp_path):
+    """Quantized-layout serialization (≙ CWBVH Save/Load,
+    tiny_bvh.h:5786-5820)."""
+    from tinybvh_tpu.layouts.cwbvh import quantize_bvh8
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+
+    tris = random_tris(300, seed=5)
+    q = quantize_bvh8(collapse_bvh2(build_binned(tris, max_leaf=4),
+                                    jnp.asarray(tris)))
+    p = str(tmp_path / "q.npz")
+    save_bvh(p, q)
+    back = load_bvh(p)
+    np.testing.assert_array_equal(np.asarray(q.qbounds),
+                                  np.asarray(back.qbounds))
+    np.testing.assert_array_equal(np.asarray(q.child), np.asarray(back.child))
+    np.testing.assert_allclose(np.asarray(q.origin), np.asarray(back.origin))

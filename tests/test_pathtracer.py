@@ -210,3 +210,83 @@ def test_specular_mirror_reflects_light_deterministically():
     want = albedo[0] * 5.0
     np.testing.assert_allclose(np.asarray(rad1)[0], want, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(rad2)[0], want, rtol=1e-5)
+
+
+def test_analytic_lights_closed_form():
+    """Point/spot/directional delta lights (≙ tiny_scene.h:701-766,
+    sampled like the reference renderers' light loop): single bounce on a
+    white floor has radiance albedo/pi * I * cos/d^2 — check against the
+    closed form, plus spot cutoff and a shadowing blocker."""
+    import jax
+
+    from tinybvh_tpu.builders.binned import build_binned
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+    from tinybvh_tpu.render.pathtracer import (
+        make_scene_arrays, pack_analytic_lights, trace_paths,
+    )
+    from tinybvh_tpu.scene.graph import Light
+
+    floor = np.array([
+        [[-10, 0, -10], [10, 0, -10], [-10, 0, 10]],
+        [[10, 0, 10], [-10, 0, 10], [10, 0, -10]],
+    ], np.float32)
+    bvh8 = collapse_bvh2(build_binned(floor, max_leaf=4), floor)
+    scene = make_scene_arrays(floor, albedo=np.ones((2, 3), np.float32))
+
+    # camera ray straight down onto the origin
+    rays = make_rays([[0, 3.0, 0]], [[0, -1.0, 0]])
+    key = jax.random.PRNGKey(0)
+
+    # point light at height h, directly above: L = albedo/pi * I / h^2
+    h = 2.0
+    lights = pack_analytic_lights(
+        [Light(kind="point", position=np.array([0, h, 0], np.float32),
+               intensity=4.0)])
+    rad, _ = trace_paths(bvh8, scene, rays, key, bounces=1,
+                         analytic=lights)
+    expect = 1.0 / np.pi * 4.0 / h**2
+    np.testing.assert_allclose(np.asarray(rad)[0], expect, rtol=1e-4)
+
+    # directional light straight down: L = albedo/pi * I
+    lights = pack_analytic_lights(
+        [Light(kind="directional",
+               direction=np.array([0, -1.0, 0], np.float32),
+               intensity=2.0)])
+    rad, _ = trace_paths(bvh8, scene, rays, key, bounces=1,
+                         analytic=lights)
+    np.testing.assert_allclose(np.asarray(rad)[0], 2.0 / np.pi, rtol=1e-4)
+
+    # spot aimed away: inside-cone point lit, outside-cone point dark
+    lights = pack_analytic_lights(
+        [Light(kind="spot", position=np.array([0, h, 0], np.float32),
+               direction=np.array([0, -1.0, 0], np.float32),
+               intensity=4.0, cos_inner=0.95, cos_outer=0.9)])
+    r_in = make_rays([[0, 3.0, 0]], [[0, -1.0, 0]])
+    rad_in, _ = trace_paths(bvh8, scene, r_in, key, bounces=1,
+                            analytic=lights)
+    # point far out to the side: angle way outside the cone
+    r_out = make_rays([[8.0, 3.0, 0]], [[0, -1.0, 0]])
+    rad_out, _ = trace_paths(bvh8, scene, r_out, key, bounces=1,
+                             analytic=lights)
+    assert float(np.asarray(rad_in)[0, 0]) > 0.1
+    np.testing.assert_allclose(np.asarray(rad_out)[0], 0.0, atol=1e-6)
+
+    # small blocker between the point light and the floor -> shadow
+    # (camera comes in at an angle so it sees the floor, not the blocker)
+    b = 0.3
+    blocker = np.array([
+        [[-b, 1.0, -b], [b, 1.0, -b], [-b, 1.0, b]],
+        [[b, 1.0, b], [-b, 1.0, b], [b, 1.0, -b]],
+    ], np.float32)
+    world = np.concatenate([floor, blocker])
+    bvh8b = collapse_bvh2(build_binned(world, max_leaf=4), world)
+    sceneb = make_scene_arrays(world, albedo=np.ones((4, 3), np.float32))
+    lights = pack_analytic_lights(
+        [Light(kind="point", position=np.array([0, h, 0], np.float32),
+               intensity=4.0)])
+    do = np.array([[0, 0, 0]], np.float32) - np.array([[2, 3, 0]], np.float32)
+    do = do / np.linalg.norm(do)
+    rays_side = make_rays([[2.0, 3.0, 0.0]], do)
+    radb, _ = trace_paths(bvh8b, sceneb, rays_side, key, bounces=1,
+                          analytic=lights)
+    np.testing.assert_allclose(np.asarray(radb)[0], 0.0, atol=1e-6)

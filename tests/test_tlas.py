@@ -195,3 +195,55 @@ def test_tlas_wavefront_masks():
     r2 = make_rays(o, d, mask=np.full(4, 0x0002, np.int32))
     h2, _ = intersect_tlas_wavefront(tlas._impl, r2)
     assert (np.asarray(h2.inst) == 1).all()
+
+
+def test_voxel_blas_in_tlas(rng):
+    """VoxelSet as a TLAS leaf (≙ the blas->layout == LAYOUT_VOXELSET
+    dispatch, tiny_bvh.h:3357): triangle hits and voxel hits min-fold
+    into one Hits record with exact distances in both frames."""
+    from tinybvh_tpu.ops.voxel import VoxelSet, intersect_voxels
+    from tinybvh_tpu.tlas.voxel_blas import (
+        intersect_tlas_voxels, is_occluded_tlas_voxels, voxel_instance,
+    )
+
+    tris = sphere_tris(8, 12, radius=0.8)
+    blas = BVH(tris)
+    tlas = TLAS([blas], np.eye(4, dtype=np.float32)[None])
+
+    # solid voxel slab placed beside the sphere via a transform
+    v = VoxelSet()
+    xs, ys, zs = np.meshgrid(np.arange(40, 216), np.arange(100, 130),
+                             np.arange(40, 216), indexing="ij")
+    v.set(xs.ravel(), ys.ravel(), zs.ravel())
+    m = _mat(translate=(3.0, -2.0, 0.0), scale=4.0)
+    vi = voxel_instance(v.freeze(), m)
+
+    rays = _rays(rng, 256, lo=-4, hi=8)
+    hits, _ = intersect_tlas_voxels(tlas._impl, [vi], rays)
+
+    # reference: triangle-only TLAS + voxel DDA in the instance frame
+    h_tri = tlas.intersect(rays)
+    minv = np.linalg.inv(m)
+    o2 = np.asarray(rays.o) @ minv[:3, :3].T + minv[:3, 3]
+    d2 = np.asarray(rays.d) @ minv[:3, :3].T
+    tv, _, _ = intersect_voxels(v.freeze(), make_rays(o2, d2))
+    tv = np.asarray(tv)
+    tt = np.asarray(h_tri.t)
+    want_t = np.minimum(tv, tt)
+    np.testing.assert_allclose(np.asarray(hits.t), want_t,
+                               rtol=1e-4, atol=1e-5)
+    vox_wins = tv < tt
+    assert vox_wins.any() and (~vox_wins & (tt < BVH_FAR / 2)).any()
+    np.testing.assert_array_equal(np.asarray(hits.inst)[vox_wins], 1)
+    assert (np.asarray(hits.prim)[vox_wins] >= 0).all()
+
+    # occlusion agrees with closest-hit
+    occ, _ = is_occluded_tlas_voxels(tlas._impl, [vi], rays, 6.0)
+    np.testing.assert_array_equal(np.asarray(occ), want_t < 6.0)
+
+    # masked-out voxel instance contributes nothing
+    vi_masked = voxel_instance(v.freeze(), m, mask=0x0002)
+    rays1 = make_rays(rays.o, rays.d,
+                      mask=np.full(rays.o.shape[0], 0x0001, np.int32))
+    h2, _ = intersect_tlas_voxels(tlas._impl, [vi_masked], rays1)
+    np.testing.assert_allclose(np.asarray(h2.t), tt, rtol=1e-4, atol=1e-5)

@@ -31,8 +31,15 @@ class BVH:
     `bvhvec4` soup with 3 vertices per triangle, tiny_bvh.h:2124).
     """
 
-    def __init__(self, tris, builder: str = "sah", max_leaf: int | None = 4,
-                 bins: int = 8, layout: str = "bvh8"):
+    def __init__(self, tris, builder: str = "sah", max_leaf: int | None = None,
+                 bins: int | None = None, layout: str = "bvh8"):
+        from tinybvh_tpu.config import get_config
+
+        cfg = get_config()
+        if max_leaf is None:
+            max_leaf = cfg.max_leaf
+        if bins is None:
+            bins = cfg.bins
         tris = jnp.asarray(tris, jnp.float32)
         if tris.ndim == 2:  # (3N, 3/4) vertex soup → (N, 3, 3)
             if tris.shape[0] % 3 or tris.shape[1] not in (3, 4):

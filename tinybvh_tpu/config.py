@@ -1,0 +1,55 @@
+"""Frozen runtime configuration (≙ the reference's three-tier flag system,
+tiny_bvh.h:56-177 compile-time defines + BVHBase runtime members
+c_trav/c_int/hqbvhbins + the scene policy enums).
+
+Compile-time #defines become fields on one frozen dataclass consumed at
+trace time; `use_config` scopes an override (jit caches key on the static
+values that reach it, so switching configs recompiles exactly like the
+reference's recompile-on-#define)."""
+
+from __future__ import annotations
+
+import contextlib
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class Config:
+    # builders (≙ BVHBINS / HQBVHBINS, C_TRAV / C_INT, tiny_bvh.h:105-140)
+    bins: int = 8
+    hq_bins: int = 8
+    c_trav: float = 1.0
+    c_int: float = 1.0
+    max_leaf: int = 4
+    sbvh_slack: float = 0.5        # spatial-split fragment pool headroom
+    # traversal
+    stack_depth: int = 128         # ≥ the builders' max depth
+    wavefront_cap: int = 3         # frontier = cap * R pairs
+    packet_k: int = 256            # packet leaf-list capacity
+    # debug (≙ VALIDATE_RAY / PARANOID, tiny_bvh.h:100-101, 1663-1665)
+    validate_rays: bool = False
+
+
+DEFAULT = Config()
+_current = DEFAULT
+
+
+def get_config() -> Config:
+    return _current
+
+
+def set_config(cfg: Config) -> None:
+    global _current
+    _current = cfg
+
+
+@contextlib.contextmanager
+def use_config(**overrides):
+    """Scoped override: `with use_config(validate_rays=True): ...`."""
+    global _current
+    prev = _current
+    _current = replace(prev, **overrides)
+    try:
+        yield _current
+    finally:
+        _current = prev

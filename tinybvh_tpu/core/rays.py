@@ -59,10 +59,24 @@ class Hits:
 
 
 def make_rays(o, d, mask=None, t_max=None) -> Rays:
-    """Build a ray batch, precomputing reciprocal directions."""
+    """Build a ray batch, precomputing reciprocal directions.
+
+    With config.validate_rays (≙ VALIDATE_RAY, tiny_bvh.h:1663-1665),
+    non-finite origins/directions and zero-length directions raise here —
+    at the batch boundary, where the reference's per-ray NaN gate sits."""
+    from tinybvh_tpu.config import get_config
+
     o = jnp.asarray(o, jnp.float32)
     d = jnp.asarray(d, jnp.float32)
     del t_max  # traversal takes an explicit t_max argument
+    if get_config().validate_rays:
+        import numpy as _np
+
+        oh, dh = _np.asarray(o), _np.asarray(d)
+        if not (_np.isfinite(oh).all() and _np.isfinite(dh).all()):
+            raise ValueError("make_rays: non-finite ray origin/direction")
+        if (_np.linalg.norm(dh, axis=-1) < 1e-30).any():
+            raise ValueError("make_rays: zero-length ray direction")
     if mask is None:
         mask = jnp.full(o.shape[:-1], RAY_MASK_ALL, jnp.int32)
     else:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 CACHE_VERSION = 1
 
-_LAYOUTS = {"BVH2": 0, "BVH8": 1, "TLAS8": 2}
+_LAYOUTS = {"BVH2": 0, "BVH8": 1, "TLAS8": 2, "BVH8Q": 3}
 
 
 def _tag(layout: str) -> int:
@@ -27,6 +27,7 @@ def _tag(layout: str) -> int:
 
 def save_bvh(path: str, obj) -> None:
     from tinybvh_tpu.layouts.bvh2 import BVH2
+    from tinybvh_tpu.layouts.cwbvh import BVH8Q
     from tinybvh_tpu.layouts.mbvh import BVH8
     from tinybvh_tpu.tlas.instance import TLAS8
 
@@ -42,6 +43,13 @@ def save_bvh(path: str, obj) -> None:
         arrays = dict(
             bounds=obj.bounds, child=obj.child,
             leaf_tris=obj.leaf_tris, leaf_prim=obj.leaf_prim,
+        )
+    elif isinstance(obj, BVH8Q):
+        layout = "BVH8Q"
+        arrays = dict(
+            origin=obj.origin, scale=obj.scale, qbounds=obj.qbounds,
+            child=obj.child, leaf_tris=obj.leaf_tris,
+            leaf_prim=obj.leaf_prim,
         )
     elif isinstance(obj, TLAS8):
         layout = "TLAS8"
@@ -65,6 +73,7 @@ def load_bvh(path: str):
     mismatch or corruption (≙ Load returning false, tiny_bvh.h:1778-1787).
     """
     from tinybvh_tpu.layouts.bvh2 import BVH2
+    from tinybvh_tpu.layouts.cwbvh import BVH8Q
     from tinybvh_tpu.layouts.mbvh import BVH8
     from tinybvh_tpu.tlas.instance import TLAS8
 
@@ -87,6 +96,12 @@ def load_bvh(path: str):
         return BVH8(
             bounds=j("bounds"), child=j("child"),
             leaf_tris=j("leaf_tris"), leaf_prim=j("leaf_prim"),
+        )
+    if layout == _LAYOUTS["BVH8Q"]:
+        return BVH8Q(
+            origin=j("origin"), scale=j("scale"), qbounds=j("qbounds"),
+            child=j("child"), leaf_tris=j("leaf_tris"),
+            leaf_prim=j("leaf_prim"),
         )
     if layout == _LAYOUTS["TLAS8"]:
         return TLAS8(

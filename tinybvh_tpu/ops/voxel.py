@@ -28,6 +28,8 @@ from tinybvh_tpu.core.vecmath import BVH_FAR
 GRID = 32
 BRICK = 8
 WORLD = GRID * BRICK  # 256
+TOPG = 8              # topgrid: one bit per 4^3 group of bricks
+GROUP = WORLD // TOPG  # 32 world units per top cell
 
 
 class VoxelSet:
@@ -59,9 +61,15 @@ class VoxelSet:
             self.bricks[b][vx, vy, vz] = value
 
     def freeze(self):
+        # topgrid: 1 bit per 4^3 group of bricks (≙ UpdateTopGrid,
+        # tiny_bvh.h:3809-3827) — the DDA crosses empty 32-unit cells in
+        # one step instead of four 8-unit ones
+        occ = self.grid >= 0
+        top = occ.reshape(TOPG, 4, TOPG, 4, TOPG, 4).any(axis=(1, 3, 5))
         return dict(
             grid=jnp.asarray(self.grid),
             bricks=jnp.asarray(np.stack(self.bricks)),
+            top=jnp.asarray(top),
             aabb_min=jnp.asarray(self.aabb_min),
             aabb_max=jnp.asarray(self.aabb_max),
         )
@@ -100,9 +108,14 @@ def intersect_voxels(vox, rays: Rays, t_max=BVH_FAR):
         return cell, tside
 
     gcell, gtside = cell_setup(enter, BRICK)
+    has_top = "top" in vox
+    tcell, ttside = cell_setup(enter, GROUP)
 
     state = dict(
-        level=jnp.zeros(R, jnp.int32),        # 0 = grid, 1 = brick
+        # levels: 0 = grid, 1 = brick, 2 = topgrid (≙ the reference's
+        # 3-level DDA, tiny_bvh.h:3871-4020 with topgrid at :3809-3827)
+        level=jnp.full(R, 2 if has_top else 0, jnp.int32),
+        tcell=tcell, ttside=ttside,
         gcell=gcell, gtside=gtside,
         bcell=jnp.zeros((R, 3), jnp.int32),
         btside=jnp.zeros((R, 3), jnp.float32),
@@ -124,11 +137,48 @@ def intersect_voxels(vox, rays: Rays, t_max=BVH_FAR):
     def body(s):
         done = s["done"]
         level, t_cur = s["level"], s["t_cur"]
+        tcell, ttside = s["tcell"], s["ttside"]
         gcell, gtside = s["gcell"], s["gtside"]
         bcell, btside = s["bcell"], s["btside"]
+        axis = s["axis"]
+
+        # ---- topgrid level: step 32-unit cells across empty space --------
+        if has_top:
+            at_top = (level == 2) & ~done
+            tc = jnp.clip(tcell, 0, TOPG - 1)
+            tocc = vox["top"][tc[:, 0], tc[:, 1], tc[:, 2]]
+            t_desc = at_top & tocc & in_bounds(tcell, TOPG)
+            ng_cell, ng_tside = cell_setup(t_cur + 1e-5, BRICK)
+            gcell = jnp.where(t_desc[:, None], ng_cell, gcell)
+            gtside = jnp.where(t_desc[:, None], ng_tside, gtside)
+            level = jnp.where(t_desc, 0, level)
+            tstep = at_top & ~t_desc
+            taxis = jnp.argmin(ttside, axis=1)
+            tt = jnp.min(ttside, axis=1)
+            onehot_t = jax.nn.one_hot(taxis, 3, dtype=jnp.int32)
+            tcell = jnp.where(tstep[:, None], tcell + onehot_t * step, tcell)
+            ttside = jnp.where((tstep[:, None]) & (onehot_t > 0),
+                               ttside + jnp.abs(inv) * GROUP, ttside)
+            t_cur = jnp.where(tstep, tt, t_cur)
+            axis = jnp.where(tstep, taxis, axis)
+            done = done | (tstep & (
+                ~in_bounds(tcell, TOPG)
+                | (t_cur > jnp.minimum(t_max, tmax_box))))
 
         at_grid = (level == 0) & ~done
         at_brick = (level == 1) & ~done
+
+        # grid cell sits in an empty topgrid group → pop back up so the
+        # DDA crosses it at 32-unit strides
+        if has_top:
+            gg = jnp.clip(gcell >> 2, 0, TOPG - 1)
+            gocc = vox["top"][gg[:, 0], gg[:, 1], gg[:, 2]]
+            to_top = at_grid & ~gocc & in_bounds(gcell, GRID)
+            ntc, ntts = cell_setup(t_cur + 1e-5, GROUP)
+            tcell = jnp.where(to_top[:, None], ntc, tcell)
+            ttside = jnp.where(to_top[:, None], ntts, ttside)
+            level = jnp.where(to_top, 2, level)
+            at_grid = at_grid & ~to_top
 
         # ---- grid level: does the current cell hold a brick? -------------
         gc = jnp.clip(gcell, 0, GRID - 1)
@@ -152,7 +202,7 @@ def intersect_voxels(vox, rays: Rays, t_max=BVH_FAR):
             gtside + jnp.abs(inv) * BRICK, gtside,
         )
         t_cur = jnp.where(gstep, gt, t_cur)
-        axis = jnp.where(gstep, gaxis, s["axis"])
+        axis = jnp.where(gstep, gaxis, axis)
         done = done | (gstep & (
             ~in_bounds(gcell, GRID) | (t_cur > jnp.minimum(t_max, tmax_box))
         ))
@@ -166,7 +216,7 @@ def intersect_voxels(vox, rays: Rays, t_max=BVH_FAR):
         hit = at_brick & vbit & brick_in
         t_hit = jnp.where(hit, t_cur, s["t_hit"])
         vhit = jnp.where(hit[:, None], bcell, s["vhit"])
-        naxis = jax.nn.one_hot(s["axis"], 3, dtype=jnp.float32)
+        naxis = jax.nn.one_hot(axis, 3, dtype=jnp.float32)
         nhit = jnp.where(
             hit[:, None], -naxis * step.astype(jnp.float32), s["nhit"]
         )
@@ -201,7 +251,8 @@ def intersect_voxels(vox, rays: Rays, t_max=BVH_FAR):
         ))
 
         return dict(
-            level=level, gcell=gcell, gtside=gtside, bcell=bcell,
+            level=level, tcell=tcell, ttside=ttside,
+            gcell=gcell, gtside=gtside, bcell=bcell,
             btside=btside, brick=brick, t_cur=t_cur, axis=axis,
             t_hit=t_hit, vhit=vhit, nhit=nhit, done=done,
         )

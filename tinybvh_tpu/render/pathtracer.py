@@ -29,6 +29,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+from flax import struct
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,6 +97,76 @@ def add_vertex_normals(scene, normals):
     return scene
 
 
+@struct.dataclass
+class AnalyticLights:
+    """Point/spot/directional delta lights for NEE (≙ tiny_scene.h:701-766).
+    kinds is static (per-kind code paths are compiled in); arrays are (A, …)."""
+
+    pos: jnp.ndarray        # (A, 3)
+    dir: jnp.ndarray        # (A, 3) unit
+    color: jnp.ndarray      # (A, 3) color * intensity
+    cos_inner: jnp.ndarray  # (A,)
+    cos_outer: jnp.ndarray  # (A,)
+    kinds: tuple = struct.field(pytree_node=False, default=())
+
+
+def pack_analytic_lights(lights):
+    """scene.graph.Light list → AnalyticLights for trace_paths(analytic=).
+    Delta lights enter NEE with weight 1 (BRDF sampling can never hit
+    them — no MIS needed)."""
+    if not lights:
+        return None
+    d = np.stack([np.asarray(l.direction, np.float32) for l in lights])
+    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-20)
+    return AnalyticLights(
+        pos=jnp.asarray(np.stack([l.position for l in lights])),
+        dir=jnp.asarray(d),
+        color=jnp.asarray(np.stack([
+            np.asarray(l.color, np.float32) * float(l.intensity)
+            for l in lights])),
+        cos_inner=jnp.asarray(np.array(
+            [l.cos_inner for l in lights], np.float32)),
+        cos_outer=jnp.asarray(np.array(
+            [l.cos_outer for l in lights], np.float32)),
+        kinds=tuple(l.kind for l in lights),
+    )
+
+
+def _analytic_nee(occl_fn, analytic, p, n, mat_albedo, throughput, valid0):
+    """Direct lighting from delta lights: one shadow segment per light
+    (the light list is small and static). occl_fn(origin, seg) must return
+    ((R,) occluded, overflow) for segments origin → origin+seg.
+    Returns (radiance_add, overflow)."""
+    R = p.shape[0]
+    add = jnp.zeros((R, 3), jnp.float32)
+    ovf = jnp.zeros((), bool)
+    for i, kind in enumerate(analytic.kinds):
+        if kind == "directional":
+            wi = jnp.broadcast_to(-analytic.dir[i], (R, 3))
+            li = jnp.broadcast_to(analytic.color[i], (R, 3))
+            seg = wi * 1e4
+        else:
+            delta = analytic.pos[i][None, :] - p
+            dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12)
+            wi = delta / jnp.sqrt(dist2)[:, None]
+            li = analytic.color[i][None, :] / dist2[:, None]
+            if kind == "spot":
+                cos_t = jnp.sum(-wi * analytic.dir[i][None, :], axis=-1)
+                fall = jnp.clip(
+                    (cos_t - analytic.cos_outer[i])
+                    / jnp.maximum(analytic.cos_inner[i]
+                                  - analytic.cos_outer[i], 1e-6), 0.0, 1.0)
+                li = li * fall[:, None]
+            seg = delta
+        cos_s = jnp.sum(n * wi, axis=-1)
+        valid = valid0 & (cos_s > 0)
+        occluded, o1 = occl_fn(p + n * 1e-4, seg)
+        ovf = ovf | o1
+        c = throughput * mat_albedo / jnp.pi * li * cos_s[:, None]
+        add = add + jnp.where((valid & ~occluded)[:, None], c, 0.0)
+    return add, ovf
+
+
 def _tri_geom(tris, prim):
     t = tris[jnp.maximum(prim, 0)]
     v0, e1, e2 = tri_edges(t)
@@ -107,7 +178,8 @@ def _tri_geom(tris, prim):
 
 @partial(jax.jit, static_argnames=("bounces", "cap_factor", "brute_force"))
 def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
-                cap_factor: int = 4, brute_force: bool = False):
+                cap_factor: int = 4, brute_force: bool = False,
+                analytic=None):
     """Trace one sample per ray through `bounces` bounces; returns
     ((R, 3) radiance, overflow flag). Fully jitted; call repeatedly with
     fresh keys to accumulate. The overflow flag ORs every traversal's
@@ -242,6 +314,21 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
             (nee_valid & ~occluded)[:, None], contrib, 0.0
         )
 
+        # --- analytic (point/spot/directional) delta lights ---------------
+        if analytic:
+            def occl(oo, seg):
+                from tinybvh_tpu.core.rays import make_rays as _mk
+                _, occ, o2 = intersect_wavefront(
+                    bvh8, _mk(oo, seg), 1.0 - 1e-3,
+                    cap_factor=cap_factor, any_hit=True)
+                return occ, o2
+
+            a_add, a_ovf = _analytic_nee(
+                occl, analytic, p, n, mat_albedo, throughput,
+                hit_ok & ~is_spec)
+            radiance = radiance + a_add
+            any_overflow = any_overflow | a_ovf
+
         # --- bounce: cosine-weighted diffuse or mirror reflection ---------
         r3 = jax.random.uniform(k4, (R,))
         r4 = jax.random.uniform(k5, (R,))
@@ -263,7 +350,7 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
 
 
 def render(bvh8, scene, eye, fwd, right, up, width, height, spp=4,
-           bounces=3, seed=0, cap_factor: int = 4):
+           bounces=3, seed=0, cap_factor: int = 4, analytic=None):
     """Accumulate spp samples; returns ((H, W, 3) float image, overflow)."""
     from tinybvh_tpu.render.camera import primary_rays
 
@@ -275,7 +362,7 @@ def render(bvh8, scene, eye, fwd, right, up, width, height, spp=4,
         jit_ = jax.random.uniform(kj, (height, width, 2))
         rays = primary_rays(eye, fwd, right, up, width, height, jitter=jit_)
         rad, o1 = trace_paths(bvh8, scene, rays, kt, bounces=bounces,
-                              cap_factor=cap_factor)
+                              cap_factor=cap_factor, analytic=analytic)
         acc = acc + rad
         ovf = ovf | o1
     img = (acc / spp).reshape(height, width, 3)

@@ -32,7 +32,7 @@ from tinybvh_tpu.tlas.instance import TLAS8, intersect_tlas_wavefront
 def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
                      light_emission, rays: Rays, key, bounces: int = 3,
                      cap_factor: int = 4, leaf_uvs=None, leaf_tex=None,
-                     tex=None, inst_specular=None):
+                     tex=None, inst_specular=None, analytic=None):
     """One sample per ray over an instanced scene → ((R, 3) radiance,
     overflow flag). The flag ORs every traversal's frontier overflow —
     True means truncated paths; retry with a larger cap_factor.
@@ -144,6 +144,22 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
                    * (cos_s * w_nee / jnp.maximum(pdf_l, 1e-9))[:, None])
         radiance = radiance + jnp.where(
             (nee_valid & ~occ)[:, None], contrib, 0.0)
+
+        # --- analytic (point/spot/directional) delta lights ---------------
+        if analytic is not None:
+            from tinybvh_tpu.render.pathtracer import _analytic_nee
+
+            def occl_a(oo, seg):
+                _, occ2, o3 = intersect_tlas_wavefront(
+                    tlas, make_rays(oo, seg), 1.0 - 1e-3,
+                    cap_factor=cap_factor, any_hit=True)
+                return occ2, o3
+
+            a_add, a_ovf = _analytic_nee(
+                occl_a, analytic, p, n, mat_albedo, throughput,
+                hit_ok & ~is_spec)
+            radiance = radiance + a_add
+            any_overflow = any_overflow | a_ovf
 
         # --- bounce: cosine-weighted diffuse or mirror reflection ---------
         r3 = jax.random.uniform(k4, (R,))

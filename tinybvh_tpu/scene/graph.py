@@ -215,6 +215,14 @@ class Scene:
         self.lights.append(light)
         return len(self.lights) - 1
 
+    def analytic_lights(self):
+        """Scene lights packed for the path tracers' `analytic=` argument
+        (render.pathtracer.pack_analytic_lights); None when there are no
+        point/spot/directional lights."""
+        from tinybvh_tpu.render.pathtracer import pack_analytic_lights
+
+        return pack_analytic_lights(self.lights)
+
     def add_quad(self, center, size, normal_axis=1, material=0,
                  policy=None) -> int:
         """Axis-aligned quad mesh helper (≙ Scene::AddQuad,
