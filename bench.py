@@ -143,10 +143,15 @@ def bench_scene(tris, name, ref_entry=None):
         np.asarray(occ)
         return occ, ovf
 
-    occ, sovf = shadow()
-    t = _time3(lambda: shadow())
-    out["shadow_mrays"] = round(n_rays / t / 1e6, 3)
-    out["shadow_retraced_tiles"] = int(np.asarray(sovf).sum())
+    # best-effort: a transient backend error in one phase must not void
+    # the whole bench (the tunnel occasionally drops a dispatch)
+    try:
+        occ, sovf = shadow()
+        t = _time3(lambda: shadow())
+        out["shadow_mrays"] = round(n_rays / t / 1e6, 3)
+        out["shadow_retraced_tiles"] = int(np.asarray(sovf).sum())
+    except Exception as e:  # pragma: no cover - device-dependent
+        out["shadow_error"] = repr(e)[:160]
 
     # ---- diffuse bounce rays (incoherent) via coherence sort -------------
     rng = np.random.default_rng(1)
@@ -165,10 +170,13 @@ def bench_scene(tris, name, ref_entry=None):
         np.asarray(h.t)
         return h, ov
 
-    dh, dov = diffuse()
-    t = _time3(lambda: diffuse())
-    out["diffuse_mrays"] = round(n_rays / t / 1e6, 3)
-    out["diffuse_retraced_rays"] = int(np.asarray(dov).sum())
+    try:
+        dh, dov = diffuse()
+        t = _time3(lambda: diffuse())
+        out["diffuse_mrays"] = round(n_rays / t / 1e6, 3)
+        out["diffuse_retraced_rays"] = int(np.asarray(dov).sum())
+    except Exception as e:  # pragma: no cover - device-dependent
+        out["diffuse_error"] = repr(e)[:160]
     return out
 
 
@@ -195,7 +203,10 @@ def main():
     jax.block_until_ready(jax.numpy.zeros(8) + 1)
 
     detail = {"device": str(jax.devices()[0]), "scene": scene_name}
-    res_bunny = bench_scene(bunny, scene_name, ref.get("bunny"))
+    try:
+        res_bunny = bench_scene(bunny, scene_name, ref.get("bunny"))
+    except Exception as e:  # pragma: no cover - device-dependent
+        res_bunny = {"error": repr(e)[:300]}
     detail[scene_name] = res_bunny
 
     # Sponza-class scene: 2x2 grid of bunnies (278,520 tris)
@@ -208,6 +219,44 @@ def main():
                                             ref.get("bunny_grid4"))
     except Exception as e:  # pragma: no cover - device-dependent
         detail["grid_error"] = repr(e)[:200]
+
+    # glTF scene through the full scene layer (load -> anim/update ->
+    # BLAS policies -> TLAS) traced by the two-level wavefront — the
+    # scene-stack end-to-end metric (≙ tiny_bvh_gltf.cpp)
+    try:
+        import jax.numpy as jnp
+
+        from tinybvh_tpu.core.rays import make_rays
+        from tinybvh_tpu.scene.graph import Scene
+        from tinybvh_tpu.tlas.instance import intersect_tlas_wavefront
+
+        sc = Scene.from_gltf("/root/reference/testdata/drone/scene.gltf")
+        t0 = time.perf_counter()
+        sc.update(0.0)
+        jax.block_until_ready(sc.tlas.bounds)
+        up_s = time.perf_counter() - t0
+        b0 = np.asarray(sc.tlas.bounds[0]).reshape(6, 8)
+        lo = b0[:3].min(axis=1)
+        hi = np.where(b0[3:] > -1e29, b0[3:], -1e30).max(axis=1)
+        o, d, _, _ = _camera_rays(lo, hi, W=256, H=256)
+        rays = make_rays(o, d)
+
+        def scene_trace():
+            h, _ = intersect_tlas_wavefront(sc.tlas, rays, cap_factor=6)
+            np.asarray(h.t)
+            return h
+
+        h = scene_trace()
+        t = _time3(scene_trace)
+        detail["drone_gltf"] = {
+            "n_tris": int(sum(m.tris.shape[0] for m in sc.meshes)),
+            "n_instances": int(len(sc._instances)),
+            "scene_update_s": round(up_s, 3),
+            "tlas_mrays": round(o.shape[0] / t / 1e6, 3),
+            "hit_rate": round(float(np.mean(np.asarray(h.prim) >= 0)), 4),
+        }
+    except Exception as e:  # pragma: no cover - data-dependent
+        detail["drone_error"] = repr(e)[:200]
 
     target = 500.0  # BASELINE.json north-star MRays/s per chip
     result = {

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-slow", action="store_true",
                     help="skip SBVH/double/optimizer stages")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write an xprof/TensorBoard device trace of the "
+                         "trace phase to DIR (jax.profiler; ~ the cl_event "
+                         "timing of tiny_bvh_speedtest.cpp:1117-1131)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -176,6 +180,12 @@ def main():
               f"{R/dt_d/1e6:8.3f}  shadow {R/dt_s/1e6:8.3f} MRays/s  "
               f"[{v}, occ {occ_n}]")
 
+    import contextlib
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    if args.profile:
+        print(f"(profiling trace phase to {args.profile})")
+    prof.__enter__()
     bench("BVH2 (lockstep)",
           lambda r: intersect_bvh2(base, packed, r, leaf_max=leaf_max),
           lambda r: is_occluded_bvh2(base, packed, r, shadow_tmax,
@@ -200,6 +210,8 @@ def main():
         bench("BVH8 (packet2)",
               lambda r: intersect_packets2(bvh8, aux, r, max_leaves=256)[0],
               lambda r: is_occluded_wavefront(bvh8, r, shadow_tmax))
+
+    prof.__exit__(None, None, None)
 
     if not args.skip_slow:
         print("\nOPTIMIZER")

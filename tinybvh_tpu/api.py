@@ -92,6 +92,32 @@ class BVH:
             self.bvh8 = collapse_bvh2(self.bvh2, tris, host=self._host)
         self._packet_aux = None
 
+    @classmethod
+    def from_vertex_buffer(cls, buf, stride: int, offset: int = 0,
+                           indices=None, **kw):
+        """Build from an interleaved vertex buffer (≙ bvhvec4slice's
+        arbitrary-stride view, tiny_bvh.h:428-436, and the indexed-geometry
+        Build overloads, tiny_bvh.h:884-927).
+
+        buf: flat float array (or anything reshapeable to 1-D); vertex i
+        reads 3 floats at ``offset + i*stride`` (stride/offset in floats,
+        not bytes — no pointer aliasing on TPU, so the view is a gather).
+        indices: optional (N, 3) int triangle indices into the vertex list;
+        without it consecutive vertex triples form triangles."""
+        buf = np.asarray(buf, np.float32).reshape(-1)
+        if stride < 3:
+            raise ValueError(f"stride must be >= 3 floats, got {stride}")
+        # last record only needs its 3 xyz floats, not a full stride
+        n_v = max(0, (buf.size - offset - 3) // stride + 1)
+        verts = buf[offset + np.arange(n_v)[:, None] * stride
+                    + np.arange(3)]                       # (n_v, 3)
+        if indices is not None:
+            idx = np.asarray(indices, np.int64).reshape(-1, 3)
+            tris = verts[idx]                             # (N, 3, 3)
+        else:
+            tris = verts[: n_v - n_v % 3].reshape(-1, 3, 3)
+        return cls(tris, **kw)
+
     @property
     def packet_aux(self):
         """Lazy packet-v2 tables (traverse.packet2) for this BVH8."""
