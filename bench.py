@@ -138,8 +138,12 @@ def bench_scene(tris, name, ref_entry=None):
     light = (center + np.array([0, 2.0, 0]) * extent).astype(np.float32)
 
     def shadow():
+        # from-light frusta sweep much more geometry than camera tiles
+        # (mean >300 leaves/tile on bunny): a 2x key budget + block
+        # worklist keeps most tiles on the fast kernel instead of the
+        # wavefront retrace
         occ, ovf = is_occluded_packets2(bvh.bvh8, aux, light, p,
-                                        max_leaves=256)
+                                        max_leaves=512, max_blocks=256)
         np.asarray(occ)
         return occ, ovf
 

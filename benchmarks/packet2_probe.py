@@ -135,6 +135,30 @@ def main(K=256):
     _, t_e2e_uf = timeit("end-to-end unfused", e2e, rays, fused=False)
     (ht, hp, ovf), t_e2e = timeit("end-to-end", e2e, rays)
     print(f"primary MRays/s (packet2): {R / t_e2e / 1e6:.2f}", flush=True)
+
+    # 3-pass (HIGH) MXU precision: candidate 2x MT speedup if exact
+    def e2e_high(rays):
+        hits, ovf2 = p2.intersect_packets2(bvh8, aux, rays, max_leaves=K,
+                                           retrace=False,
+                                           mt_precision="high")
+        return hits.t, hits.prim, ovf2
+
+    (ht_h, hp_h, _), t_e2e_h = timeit("end-to-end (HIGH)", e2e_high, rays)
+    dif = int((np.asarray(hp_h) != np.asarray(hp)).sum())
+    print(f"HIGH vs HIGHEST: prim diffs {dif}  "
+          f"({R / t_e2e_h / 1e6:.2f} MRays/s)", flush=True)
+
+    # pure-VPU broadcast-FMA variant (full f32, no MXU passes)
+    def e2e_vpu(rays):
+        hits, ovf2 = p2.intersect_packets2(bvh8, aux, rays, max_leaves=K,
+                                           retrace=False,
+                                           mt_precision="vpu")
+        return hits.t, hits.prim, ovf2
+
+    (ht_v, hp_v, _), t_e2e_v = timeit("end-to-end (VPU)", e2e_vpu, rays)
+    dif = int((np.asarray(hp_v) != np.asarray(hp)).sum())
+    print(f"VPU vs HIGHEST: prim diffs {dif}  "
+          f"({R / t_e2e_v / 1e6:.2f} MRays/s)", flush=True)
     print("hit rate:", float(np.mean(np.asarray(hp) >= 0)),
           "overflow:", int(np.asarray(ovf).sum()), flush=True)
 

@@ -39,3 +39,18 @@ def test_validate_rays_gate():
             make_rays(o * np.nan, d)
         with pytest.raises(ValueError, match="zero-length"):
             make_rays(o, d * 0.0)
+
+
+def test_debug_nans_gate():
+    """config.debug_nans flips jax's NaN tripwire (the sanitizer analog:
+    pure-functional code has no races, so NaN detection is the remaining
+    runtime-poison check)."""
+    import jax
+    import jax.numpy as jnp
+
+    with use_config(debug_nans=True):
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jnp.log(jnp.zeros(4) - 1.0).block_until_ready()
+    assert not jax.config.jax_debug_nans
+    jnp.log(jnp.zeros(4) - 1.0).block_until_ready()  # silent again

@@ -202,3 +202,51 @@ def test_overflow_reported_and_retraced(scene):
     ref, _ = intersect_wavefront(bvh8, rays_w, cap_factor=24)
     assert (np.asarray(hits1.prim) == np.asarray(ref.prim)).all()
     assert not np.asarray(ovf1).any()
+
+
+def test_primary_vpu_variant_matches(scene):
+    """The pure-VPU broadcast-FMA MT path (mt_precision='vpu') computes
+    the same f32 math as the MXU dots — hits must be identical."""
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=4)
+    rays = make_rays(o, d)
+    h0, _ = intersect_packets2(bvh8, aux, rays, max_leaves=256,
+                               interpret=True, retrace=False)
+    h1, _ = intersect_packets2(bvh8, aux, rays, max_leaves=256,
+                               interpret=True, retrace=False,
+                               mt_precision="vpu")
+    np.testing.assert_array_equal(np.asarray(h0.prim), np.asarray(h1.prim))
+    m = np.asarray(h0.prim) >= 0
+    np.testing.assert_allclose(np.asarray(h1.t)[m], np.asarray(h0.t)[m],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_kernel_dead_keys_within_count(scene):
+    """Worklist-overflow tiles report count=k_cap+1 with fewer live keys;
+    dead (I32MAX) entries inside [0, count) must not be DMA'd (out-of-
+    bounds descriptors kill the TPU worker) and must produce no hits."""
+    import jax.numpy as jnp
+    from tinybvh_tpu.traverse.packet2 import TILE, mt_resolve_fused
+
+    tris, bvh8, aux = scene
+    K = 64
+    T = 2
+    # tile 0: one live key (leaf 0) then dead entries, count = K+1 clamped
+    keys = np.full((T, K), _I32MAX, np.int32)
+    keys[0, 0] = 0  # leaf 0, lb bits zero
+    counts = np.array([K, 0], np.int32)  # count beyond the live prefix
+    lbg = np.zeros((T, 1, K // 32), np.float32)
+    tmax = np.full((T, 1), 1e30, np.float32)
+    o_t = np.zeros((T, 3, TILE), np.float32)
+    o_t[:, 2, :] = -3.0 - np.asarray(aux.center)[2]
+    d_t = np.zeros((T, 3, TILE), np.float32)
+    d_t[:, 2, :] = 1.0
+    t, i = mt_resolve_fused(
+        jnp.asarray(keys), jnp.asarray(counts), jnp.asarray(lbg),
+        jnp.asarray(tmax), jnp.asarray(o_t) - np.asarray(aux.center)[:, None]
+        + np.asarray(aux.center)[:, None], jnp.asarray(d_t),
+        aux.gtab_pad, k_cap=K, interpret=True)
+    t = np.asarray(t)
+    # tile 1 (count 0) must be all misses; tile 0 only hits leaf-0 tris
+    assert (t[1] >= 1e29).all()
+    assert np.isfinite(t).all()

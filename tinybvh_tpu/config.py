@@ -28,6 +28,9 @@ class Config:
     packet_k: int = 256            # packet leaf-list capacity
     # debug (≙ VALIDATE_RAY / PARANOID, tiny_bvh.h:100-101, 1663-1665)
     validate_rays: bool = False
+    # jax-level NaN tripwire (the sanitizer analog — the reference has no
+    # TSAN; races vanish in the pure-functional design, NaNs don't)
+    debug_nans: bool = False
 
 
 DEFAULT = Config()
@@ -40,16 +43,19 @@ def get_config() -> Config:
 
 def set_config(cfg: Config) -> None:
     global _current
+    if cfg.debug_nans != _current.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", cfg.debug_nans)
     _current = cfg
 
 
 @contextlib.contextmanager
 def use_config(**overrides):
     """Scoped override: `with use_config(validate_rays=True): ...`."""
-    global _current
     prev = _current
-    _current = replace(prev, **overrides)
+    set_config(replace(prev, **overrides))
     try:
         yield _current
     finally:
-        _current = prev
+        set_config(prev)

@@ -222,8 +222,8 @@ def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
             ok, axis=0, keepdims=True).astype(jnp.int32)[0]
 
 
-def _cull_kernel(wl_ref, posn_ref, negn_ref, thr_ref, olo_ref, ohi_ref,
-                 llo_ref, lhi_ref, keys_ref, cnt_ref, tmp_ref, *,
+def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
+                 ohi_ref, llo_ref, lhi_ref, keys_ref, cnt_ref, tmp_ref, *,
                  n_leaves, k_cap, max_blocks):
     """K1b: fine tier — walk this group's surviving-block worklist (SMEM,
     cheap scalar reads), frustum-test the 128 leaves of each block, and
@@ -236,44 +236,39 @@ def _cull_kernel(wl_ref, posn_ref, negn_ref, thr_ref, olo_ref, ohi_ref,
     bunny (16k tiny (1,256) compactions dominated). Slot-aligned writes
     make the loop body branch-free vector code, and the single final
     (8, max_blocks*128) compaction amortizes the butterfly across the
-    whole group."""
+    whole group. The loop's trip count is the group's LIVE block count
+    (SMEM scalar), not max_blocks — dead slots are covered by one vector
+    scratch init instead of 128-iteration cond branches."""
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    tmp_ref[:, :] = jnp.full((TB, max_blocks * LANES), _I32MAX, jnp.int32)
+    nblk = jnp.minimum(nblk_ref[0, 0, 0], max_blocks)
 
     def wl_body(j, _):
         blk = wl_ref[0, 0, j]
         off_s = pl.multiple_of(j * LANES, LANES)
+        off_l = pl.multiple_of(blk * LANES, LANES)
+        lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
+        hi = lhi_ref[:, pl.ds(off_l, LANES)]
+        passed = _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi)
+        passed = passed & ((blk * LANES + lanes) < n_leaves)
 
-        def do_blk(_):
-            off_l = pl.multiple_of(blk * LANES, LANES)
-            lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
-            hi = lhi_ref[:, pl.ds(off_l, LANES)]
-            passed = _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi)
-            passed = passed & ((blk * LANES + lanes) < n_leaves)
+        # conservative origin-box -> leaf-box distance (lower bound on
+        # any tile ray's t to reach the leaf, for unit directions)
+        g2 = jnp.zeros((TB, LANES), jnp.float32)
+        for k in range(3):
+            gk = jnp.maximum(olo_ref[:, k:k + 1] - hi[k:k + 1, :],
+                             lo[k:k + 1, :] - ohi_ref[:, k:k + 1])
+            gk = jnp.maximum(gk, 0.0)
+            g2 = g2 + gk * gk
+        lb = jnp.sqrt(g2)
+        lbb = lax.bitcast_convert_type(lb, jnp.int32)
+        key_all = ((lbb >> _LEAF_BITS) << _LEAF_BITS) | (
+            blk * LANES + lanes)
+        tmp_ref[:, pl.ds(off_s, LANES)] = jnp.where(
+            passed, key_all, _I32MAX)
+        return 0
 
-            # conservative origin-box -> leaf-box distance (lower bound on
-            # any tile ray's t to reach the leaf, for unit directions)
-            g2 = jnp.zeros((TB, LANES), jnp.float32)
-            for k in range(3):
-                gk = jnp.maximum(olo_ref[:, k:k + 1] - hi[k:k + 1, :],
-                                 lo[k:k + 1, :] - ohi_ref[:, k:k + 1])
-                gk = jnp.maximum(gk, 0.0)
-                g2 = g2 + gk * gk
-            lb = jnp.sqrt(g2)
-            lbb = lax.bitcast_convert_type(lb, jnp.int32)
-            key_all = ((lbb >> _LEAF_BITS) << _LEAF_BITS) | (
-                blk * LANES + lanes)
-            tmp_ref[:, pl.ds(off_s, LANES)] = jnp.where(
-                passed, key_all, _I32MAX)
-            return 0
-
-        def skip(_):
-            tmp_ref[:, pl.ds(off_s, LANES)] = jnp.full(
-                (TB, LANES), _I32MAX, jnp.int32)
-            return 0
-
-        return lax.cond(blk >= 0, do_blk, skip, 0)
-
-    lax.fori_loop(0, max_blocks, wl_body, 0)
+    lax.fori_loop(0, nblk, wl_body, 0)
 
     width = max_blocks * LANES
     lanes_w = lax.broadcasted_iota(jnp.int32, (TB, width), 1)
@@ -357,11 +352,15 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
     wl_overflow = n_blk_g > max_blocks
 
     # --- K1b: fine leaf cull over the worklists --------------------------
+    nblk_in = jnp.minimum(n_blk_g, max_blocks).astype(jnp.int32).reshape(
+        G, 1, 1)
     keys, cnt = pl.pallas_call(
         partial(_cull_kernel, n_leaves=aux.n_leaves, k_cap=k_cap,
                 max_blocks=max_blocks),
         grid=(G,),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             # (G, 1, max_blocks): trailing block dims must equal the array's
             # (Mosaic tiling check applies to SMEM blocks as well)
             pl.BlockSpec((1, 1, max_blocks), lambda i: (i, 0, 0),
@@ -389,7 +388,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
         scratch_shapes=[
             pltpu.VMEM((TB, max_blocks * LANES), jnp.int32)],
         interpret=interpret,
-    )(wl, posn, negn, thresh, olo, ohi, aux.leaf_lo, aux.leaf_hi)
+    )(nblk_in, wl, posn, negn, thresh, olo, ohi, aux.leaf_lo, aux.leaf_hi)
     counts = cnt.reshape(tp)
     counts = jnp.where(jnp.repeat(wl_overflow, TB), k_cap + 1, counts)
     return keys[:T], counts[:T]
@@ -399,7 +398,8 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
 # K2: sorted early-exit triple-product MT
 # --------------------------------------------------------------------------
 
-def _mt_kernel(o_ref, d_ref, geom_ref, lbg_ref, tmax_ref, t_ref, i_ref):
+def _mt_kernel(o_ref, d_ref, geom_ref, lbg_ref, tmax_ref, t_ref, i_ref, *,
+               prec=lax.Precision.HIGHEST):
     k4 = geom_ref.shape[1]
     nb = k4 // TRI_BLK
 
@@ -425,17 +425,17 @@ def _mt_kernel(o_ref, d_ref, geom_ref, lbg_ref, tmax_ref, t_ref, i_ref):
     def body(state):
         blk, best_t, best_i = state
         g = geom_ref[0, pl.ds(blk * TRI_BLK, TRI_BLK), :]   # (128, 48)
-        # Precision.HIGHEST: the TPU MXU computes f32 matmuls via bf16
+        # Precision >= HIGH: the TPU MXU computes f32 matmuls via bf16
         # passes by default — enough error to flip u/v/det signs on
         # edge-adjacent rays (measured: false hits on bunny silhouettes)
         det = jnp.dot(g[:, 0:12], f, preferred_element_type=jnp.float32,
-                      precision=lax.Precision.HIGHEST)
+                      precision=prec)
         up = jnp.dot(g[:, 12:24], f, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+                     precision=prec)
         vp = jnp.dot(g[:, 24:36], f, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+                     precision=prec)
         tp = jnp.dot(g[:, 36:48], f, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+                     precision=prec)
         s = jnp.where(det >= 0, 1.0, -1.0)
         ad = det * s
         us = up * s
@@ -505,7 +505,7 @@ _LPB = TRI_BLK // 4     # leaves per 128-tri super-block
 
 def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
                      gtab_ref, t_ref, i_ref, buf_ref, sem_ref, *, k_cap,
-                     omap_s=0):
+                     omap_s=0, prec=lax.Precision.HIGHEST):
     """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
     DMA each live leaf's (4, 48) G-row block straight from HBM into a
     double-buffered (128, 48) VMEM super-block, and run the triple-product
@@ -537,9 +537,16 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
     tmax = tmax_ref[0, 0, 0]
     rows = lax.broadcasted_iota(jnp.int32, (TRI_BLK, 1), 0)
 
+    # a worklist-overflow group reports count = k_cap + 1 with possibly
+    # FEWER live keys — dead (I32MAX) entries inside [0, count) must never
+    # reach the DMA engine: I32MAX & _LEAF_MASK = 262143 is far past the
+    # end of gtab and an out-of-bounds descriptor kills the TPU worker
+    # (observed: bench shadow phase, from-light frusta overflow worklists)
+    max_leaf_row = gtab_ref.shape[0] // 4 - 1
+
     def leaf_dma(sb, i, slot):
         ki = sb * _LPB + i
-        leaf = keys_ref[0, 0, ki] & _LEAF_MASK
+        leaf = jnp.minimum(keys_ref[0, 0, ki] & _LEAF_MASK, max_leaf_row)
         return pltpu.make_async_copy(
             gtab_ref.at[pl.ds(leaf * 4, 4), :],
             buf_ref.at[pl.ds(slot * TRI_BLK + i * 4, 4), :],
@@ -548,15 +555,26 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
 
     def issue(sb, slot):
         def one(i, _):
-            @pl.when(sb * _LPB + i < count)
+            ki = sb * _LPB + i
+            live_k = (ki < count) & (keys_ref[0, 0, ki] != _I32MAX)
+
+            @pl.when(live_k)
             def _():
                 leaf_dma(sb, i, slot).start()
+
+            @pl.when((ki < count) & jnp.logical_not(live_k))
+            def _():
+                # dead slot: zero rows (det = 0 -> never hits)
+                buf_ref[pl.ds(slot * TRI_BLK + i * 4, 4), :] = jnp.zeros(
+                    (4, buf_ref.shape[1]), jnp.float32)
             return 0
         lax.fori_loop(0, _LPB, one, 0)
 
     def drain(sb, slot):
         def one(i, _):
-            @pl.when(sb * _LPB + i < count)
+            ki = sb * _LPB + i
+
+            @pl.when((ki < count) & (keys_ref[0, 0, ki] != _I32MAX))
             def _():
                 leaf_dma(sb, i, slot).wait()
             return 0
@@ -587,16 +605,32 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
 
         off = pl.multiple_of(slot * TRI_BLK, TRI_BLK)
         g = buf_ref[pl.ds(off, TRI_BLK), :]               # (128, 48)
-        # see _mt_kernel: HIGHEST precision or the MXU's bf16 passes
-        # manufacture hits on edge-adjacent rays
-        det = jnp.dot(g[:, 0:12], f, preferred_element_type=jnp.float32,
-                      precision=lax.Precision.HIGHEST)
-        up = jnp.dot(g[:, 12:24], f, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-        vp = jnp.dot(g[:, 24:36], f, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-        tp = jnp.dot(g[:, 36:48], f, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+        if prec == "vpu":
+            # depth-12 "matmuls" as 48 broadcast FMAs on the VPU: the MXU
+            # runs K=12 dots at ~9% depth utilization and f32 needs 6 bf16
+            # passes (HIGHEST) for exactness — the VPU does the same work
+            # in native f32 with no precision hack
+            det = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            up = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            vp = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            tp = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            for kk in range(12):
+                fk = f[kk:kk + 1, :]                      # (1, 256)
+                det = det + g[:, kk:kk + 1] * fk
+                up = up + g[:, 12 + kk:13 + kk] * fk
+                vp = vp + g[:, 24 + kk:25 + kk] * fk
+                tp = tp + g[:, 36 + kk:37 + kk] * fk
+        else:
+            # see _mt_kernel: >= HIGH precision or the MXU's bf16 passes
+            # manufacture hits on edge-adjacent rays
+            det = jnp.dot(g[:, 0:12], f, preferred_element_type=jnp.float32,
+                          precision=prec)
+            up = jnp.dot(g[:, 12:24], f, preferred_element_type=jnp.float32,
+                         precision=prec)
+            vp = jnp.dot(g[:, 24:36], f, preferred_element_type=jnp.float32,
+                         precision=prec)
+            tp = jnp.dot(g[:, 36:48], f, preferred_element_type=jnp.float32,
+                         precision=prec)
         s = jnp.where(det >= 0, 1.0, -1.0)
         ad = det * s
         us = up * s
@@ -635,9 +669,11 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
     i_ref[0, 0, :] = best_i[0]
 
 
-@partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s"))
+@partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
+                                   "mt_precision"))
 def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
-                     k_cap: int, interpret: bool = False, omap_s: int = 0):
+                     k_cap: int, interpret: bool = False, omap_s: int = 0,
+                     mt_precision: str = "highest"):
     """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
     (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
@@ -645,8 +681,10 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     list (same convention as mt_resolve over the gathered layout)."""
     T = keys.shape[0]
     nb = lbg.shape[2]
+    prec = {"highest": lax.Precision.HIGHEST,
+            "high": lax.Precision.HIGH}.get(mt_precision, "vpu")
     t_out, i_out = pl.pallas_call(
-        partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s),
+        partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, k_cap), lambda i: (i, 0, 0),
@@ -694,12 +732,14 @@ def _decode_keys(keys):
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
-                                   "wf_cap_factor", "sort", "fused"))
+                                   "wf_cap_factor", "sort", "fused",
+                                   "mt_precision", "max_blocks"))
 def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_leaves: int = 256, t_max=BVH_FAR,
                        interpret: bool = False, retrace: bool = True,
                        wf_cap_factor: int = 8, sort: bool = False,
-                       fused: bool = True):
+                       fused: bool = True, mt_precision: str = "highest",
+                       max_blocks: int = 128):
     """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
     origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
     Returns (Hits, per-tile overflow mask). With retrace=True overflowed
@@ -722,7 +762,8 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
               + jnp.einsum("tpk,tk->tp", negn, ohi))
 
     keys, counts = cull_tiles(aux, posn, negn, thresh, olo, ohi,
-                              k_cap=K, interpret=interpret)
+                              k_cap=K, interpret=interpret,
+                              max_blocks=max_blocks)
     overflow = counts > K
 
     keys_s = keys[:, :K]
@@ -769,7 +810,8 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         best_t, best_i = mt_resolve_fused(
             keys_s, jnp.minimum(counts, K), lbg, tmax.reshape(T, 1),
             o_c, d_t, aux.gtab_pad, k_cap=K,
-            interpret=interpret, omap_s=aux.omap_s)
+            interpret=interpret, omap_s=aux.omap_s,
+            mt_precision=mt_precision)
     else:
         best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
                                     interpret=interpret)
@@ -834,11 +876,11 @@ def _finish(bvh8, rays, best_t, best_pk, overflow, R, T):
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
-                                   "wf_cap_factor"))
+                                   "wf_cap_factor", "max_blocks"))
 def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
                          cutoff: float = 1.0 - 1e-3, max_leaves: int = 256,
                          interpret: bool = False, retrace: bool = True,
-                         wf_cap_factor: int = 8):
+                         wf_cap_factor: int = 8, max_blocks: int = 128):
     """Any-hit occlusion for segments origin->points sharing ONE origin,
     points in tile order (e.g. shadow rays traced FROM a point light).
     Directions stay unnormalized so t is the segment fraction; the t_max
@@ -856,7 +898,7 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
     rays = make_rays(o, d)
     hits, overflow = intersect_packets2(
         bvh8, aux, rays, max_leaves=max_leaves, t_max=cutoff,
-        interpret=interpret, retrace=False)
+        interpret=interpret, retrace=False, max_blocks=max_blocks)
     occ = (hits.prim >= 0) & (hits.t < cutoff)
     if retrace:
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
