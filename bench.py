@@ -2,8 +2,10 @@
 
 Mirrors tiny_bvh_speedtest's primary/shadow/diffuse benchmark
 (tiny_bvh_speedtest.cpp:174-336): build a BVH over a real scene, fire
-camera primary rays, shadow rays toward a point light, and incoherent
-diffuse bounce rays; report MRays/s. Two scenes: the Stanford bunny
+camera primary rays (1280x1280 = 1.64M, amortizing the tunnel's ~30 ms
+per-dispatch floor; the reference's GPU speedtest uses 2.4M-ray batches),
+shadow rays toward a point light, and incoherent diffuse bounce rays;
+report MRays/s. Two scenes: the Stanford bunny
 (69,630 tris) and a 2x2 bunny grid (278,520 tris — the Sponza-class stand-
 in; the reference checkout's large scene blobs are stripped). All traces
 ride the packet2 pipeline (dense Pallas cull + fused DMA/MT kernel) with
@@ -28,7 +30,7 @@ _REF = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "benchmarks", "ref_baseline.json")
 
 
-def _camera_rays(lo, hi, W=640, H=640):
+def _camera_rays(lo, hi, W=1280, H=1280):
     center = (lo + hi) * 0.5
     extent = float(np.max(hi - lo))
     eye = center + np.array([0.6, 0.35, 1.1]) * extent * 1.2

@@ -131,6 +131,11 @@ def test_primary_matches_wavefront(scene):
     assert m.mean() > 0.3
     np.testing.assert_allclose(np.asarray(hits.t)[m], np.asarray(ref.t)[m],
                                rtol=1e-4, atol=1e-4)
+    # barycentrics recovered in-kernel must match the wavefront's MT
+    np.testing.assert_allclose(np.asarray(hits.u)[m], np.asarray(ref.u)[m],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(hits.v)[m], np.asarray(ref.v)[m],
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_occlusion_vs_brute_force(scene):
@@ -241,7 +246,7 @@ def test_fused_kernel_dead_keys_within_count(scene):
     o_t[:, 2, :] = -3.0 - np.asarray(aux.center)[2]
     d_t = np.zeros((T, 3, TILE), np.float32)
     d_t[:, 2, :] = 1.0
-    t, i = mt_resolve_fused(
+    t, i, _, _ = mt_resolve_fused(
         jnp.asarray(keys), jnp.asarray(counts), jnp.asarray(lbg),
         jnp.asarray(tmax), jnp.asarray(o_t) - np.asarray(aux.center)[:, None]
         + np.asarray(aux.center)[:, None], jnp.asarray(d_t),

@@ -290,3 +290,43 @@ def test_analytic_lights_closed_form():
     radb, _ = trace_paths(bvh8b, sceneb, rays_side, key, bounces=1,
                           analytic=lights)
     np.testing.assert_allclose(np.asarray(radb)[0], 0.0, atol=1e-6)
+
+
+def test_trace_paths_packet_engine_matches_wavefront():
+    """aux= routes every PT traversal through the packet engines; both
+    engines are exact, the RNG stream is identical, so radiance must agree
+    to float tolerance."""
+    import jax
+
+    from tinybvh_tpu.builders.binned import build_binned
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+    from tinybvh_tpu.render.camera import look_at, primary_rays
+    from tinybvh_tpu.render.pathtracer import make_scene_arrays, trace_paths
+    from tinybvh_tpu.traverse.packet2 import build_packet_aux
+
+    from tinybvh_tpu.io.loaders import random_tris
+
+    tris = np.concatenate([
+        random_tris(120, seed=11),              # cluster in [0,10]^3
+        # emissive ceiling quad above the cluster
+        np.array([[[0, 14, 0], [10, 14, 0], [0, 14, 10]],
+                  [[10, 14, 10], [0, 14, 10], [10, 14, 0]]], np.float32),
+        # floor below it
+        np.array([[[-5, -2, -5], [15, -2, -5], [-5, -2, 15]],
+                  [[15, -2, 15], [-5, -2, 15], [15, -2, -5]]], np.float32),
+    ])
+    emissive = np.zeros((124, 3), np.float32)
+    emissive[120:122] = 6.0
+    bvh8 = collapse_bvh2(build_binned(tris, max_leaf=4), tris)
+    scene = make_scene_arrays(tris, emissive=emissive)
+    aux = build_packet_aux(bvh8)
+
+    eye, fwd, right, up = look_at(np.array([5.0, 6.0, 22.0]),
+                                  np.array([5.0, 4.0, 5.0]))
+    rays = primary_rays(eye, fwd, right, up, 32, 16)  # 512 rays (2 tiles)
+    key = jax.random.PRNGKey(3)
+    r_wf, _ = trace_paths(bvh8, scene, rays, key, bounces=2)
+    r_pk, _ = trace_paths(bvh8, scene, rays, key, bounces=2, aux=aux)
+    np.testing.assert_allclose(np.asarray(r_pk), np.asarray(r_wf),
+                               rtol=1e-3, atol=1e-4)
+    assert float(np.asarray(r_wf).max()) > 0  # scene actually lit

@@ -179,7 +179,7 @@ def _tri_geom(tris, prim):
 @partial(jax.jit, static_argnames=("bounces", "cap_factor", "brute_force"))
 def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
                 cap_factor: int = 4, brute_force: bool = False,
-                analytic=None):
+                analytic=None, aux=None):
     """Trace one sample per ray through `bounces` bounces; returns
     ((R, 3) radiance, overflow flag). Fully jitted; call repeatedly with
     fresh keys to accumulate. The overflow flag ORs every traversal's
@@ -190,8 +190,40 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
     every hit — the plain path-integral estimator. Same expectation, much
     higher variance; used by tests to pin the MIS weighting (≙ the
     validation idea of the reference's speedtest: two estimators, one
-    answer)."""
+    answer).
+
+    aux: optional traverse.packet2.PacketAux — routes every traversal
+    through the packet engines (shared-origin primaries direct, bounces
+    and shadow segments via the coherence sort), each with exact in-call
+    wavefront retrace of overflowed tiles. Requires R %% 256 == 0.
+    3-6x the wavefront engine on coherent workloads (the same trade the
+    reference makes with Intersect256Rays, tiny_bvh.h:3528)."""
     R = rays.o.shape[0]
+    use_packets = aux is not None and R % 256 == 0
+    if use_packets:
+        from tinybvh_tpu.traverse.packet2 import (
+            intersect_packets2, intersect_packets2_sorted,
+        )
+
+        # compiled Mosaic kernels on TPU; interpret elsewhere (CI)
+        interp = jax.default_backend() != "tpu"
+        scene_lo = jnp.min(aux.leaf_lo, axis=1)
+        scene_hi = jnp.max(aux.leaf_hi, axis=1)
+
+        def extend(cur, bounce):
+            if bounce == 0:
+                return intersect_packets2(bvh8, aux, cur,
+                                          interpret=interp)
+            h, ov = intersect_packets2_sorted(
+                bvh8, aux, cur, scene_lo, scene_hi, interpret=interp)
+            return h, ov.any()
+
+        def occl_seg(oo, seg):
+            """Any-hit over segments oo -> oo+seg via sorted packets."""
+            h, ov = intersect_packets2_sorted(
+                bvh8, aux, make_rays(oo, seg), scene_lo, scene_hi,
+                interpret=interp)
+            return (h.prim >= 0) & (h.t < 1.0 - 1e-3), ov.any()
     tris = scene["tris"]
     albedo = scene["albedo"]
     emissive = scene["emissive"]
@@ -213,7 +245,11 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
     for bounce in range(bounces):
         key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
         cur = Rays(o=o, d=d, rd=rd, mask=rays.mask)
-        hits, ovf = intersect_wavefront(bvh8, cur, cap_factor=cap_factor)
+        if use_packets:
+            hits, ovf = extend(cur, bounce)
+        else:
+            hits, ovf = intersect_wavefront(bvh8, cur,
+                                            cap_factor=cap_factor)
         any_overflow = any_overflow | ovf
         hit_ok = alive & (hits.prim >= 0)
 
@@ -296,9 +332,13 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
         )
         if brute_force:
             nee_valid = jnp.zeros_like(nee_valid)
-        srays = make_rays(p + n * 1e-4, wi * dist[:, None])
-        _, occluded, ovf_s = intersect_wavefront(
-            bvh8, srays, 1.0 - 1e-3, cap_factor=cap_factor, any_hit=True)
+        if use_packets:
+            occluded, ovf_s = occl_seg(p + n * 1e-4, wi * dist[:, None])
+        else:
+            srays = make_rays(p + n * 1e-4, wi * dist[:, None])
+            _, occluded, ovf_s = intersect_wavefront(
+                bvh8, srays, 1.0 - 1e-3, cap_factor=cap_factor,
+                any_hit=True)
         any_overflow = any_overflow | ovf_s
         # pdf of sampling that point on that light (area → solid angle)
         pdf_l = dist2 / jnp.maximum(cos_l * larea * n_lights, 1e-9)
@@ -317,6 +357,8 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
         # --- analytic (point/spot/directional) delta lights ---------------
         if analytic:
             def occl(oo, seg):
+                if use_packets:
+                    return occl_seg(oo, seg)
                 from tinybvh_tpu.core.rays import make_rays as _mk
                 _, occ, o2 = intersect_wavefront(
                     bvh8, _mk(oo, seg), 1.0 - 1e-3,
@@ -350,10 +392,19 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
 
 
 def render(bvh8, scene, eye, fwd, right, up, width, height, spp=4,
-           bounces=3, seed=0, cap_factor: int = 4, analytic=None):
-    """Accumulate spp samples; returns ((H, W, 3) float image, overflow)."""
+           bounces=3, seed=0, cap_factor: int = 4, analytic=None,
+           use_packets: bool = False):
+    """Accumulate spp samples; returns ((H, W, 3) float image, overflow).
+
+    use_packets=True routes all traversals through the packet engines
+    (build_packet_aux is computed once here)."""
     from tinybvh_tpu.render.camera import primary_rays
 
+    aux = None
+    if use_packets and (width * height) % 256 == 0:
+        from tinybvh_tpu.traverse.packet2 import build_packet_aux
+
+        aux = build_packet_aux(bvh8)
     key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((width * height, 3), jnp.float32)
     ovf = jnp.zeros((), bool)
@@ -362,7 +413,8 @@ def render(bvh8, scene, eye, fwd, right, up, width, height, spp=4,
         jit_ = jax.random.uniform(kj, (height, width, 2))
         rays = primary_rays(eye, fwd, right, up, width, height, jitter=jit_)
         rad, o1 = trace_paths(bvh8, scene, rays, kt, bounces=bounces,
-                              cap_factor=cap_factor, analytic=analytic)
+                              cap_factor=cap_factor, analytic=analytic,
+                              aux=aux)
         acc = acc + rad
         ovf = ovf | o1
     img = (acc / spp).reshape(height, width, 3)

@@ -504,8 +504,8 @@ _LPB = TRI_BLK // 4     # leaves per 128-tri super-block
 
 
 def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
-                     gtab_ref, t_ref, i_ref, buf_ref, sem_ref, *, k_cap,
-                     omap_s=0, prec=lax.Precision.HIGHEST):
+                     gtab_ref, t_ref, i_ref, u_ref, v_ref, buf_ref, sem_ref,
+                     *, k_cap, omap_s=0, prec=lax.Precision.HIGHEST):
     """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
     DMA each live leaf's (4, 48) G-row block straight from HBM into a
     double-buffered (128, 48) VMEM super-block, and run the triple-product
@@ -585,11 +585,10 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
         issue(0, 0)
 
     def cond(state):
-        _, issued, _, _ = state
-        return issued
+        return state[1]
 
     def body(state):
-        sb, _, best_t, best_i = state
+        sb, _, best_t, best_i = state[:4]
         slot = lax.rem(sb, 2)
         drain(sb, slot)
         # issue the next super-block BEFORE computing this one (overlap);
@@ -653,20 +652,35 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
                 gw = g[:, 48 + w:49 + w].astype(jnp.int32)   # (128, 1)
                 word = jnp.where((b >> 4) == w, gw, word)
             hit = hit & (((word >> (b & 15)) & 1) > 0)
-        tt = jnp.where(hit & live, ts / jnp.where(ad > 0, ad, 1.0), BVH_FAR)
+        inv_ad2 = 1.0 / jnp.where(ad > 0, ad, 1.0)
+        tt = jnp.where(hit & live, ts * inv_ad2, BVH_FAR)
         m = jnp.min(tt, axis=0).reshape(1, TILE)
         am = jnp.argmin(tt, axis=0).astype(jnp.int32).reshape(1, TILE)
+        # barycentrics of the argmin row via one-hot select — recovering
+        # u/v here kills the XLA post-pass that re-intersected winners
+        # (per-ray gathers of 3x(4L,3) tables + a second MT)
+        oh = (rows == am)                                  # (128, 256)
+        u_blk = jnp.sum(jnp.where(oh, us * inv_ad2, 0.0), axis=0,
+                        keepdims=True)
+        v_blk = jnp.sum(jnp.where(oh, vs * inv_ad2, 0.0), axis=0,
+                        keepdims=True)
         better = m < best_t
         best_t = jnp.where(better, m, best_t)
         best_i = jnp.where(better, sb * TRI_BLK + am, best_i)
-        return sb + 1, nxt, best_t, best_i
+        best_u = jnp.where(better, u_blk, state[4])
+        best_v = jnp.where(better, v_blk, state[5])
+        return sb + 1, nxt, best_t, best_i, best_u, best_v
 
     init = (jnp.int32(0), nsb > 0,
             jnp.zeros((1, TILE), jnp.float32) + tmax,
-            jnp.zeros((1, TILE), jnp.int32))
-    _, _, best_t, best_i = lax.while_loop(cond, body, init)
+            jnp.zeros((1, TILE), jnp.int32),
+            jnp.zeros((1, TILE), jnp.float32),
+            jnp.zeros((1, TILE), jnp.float32))
+    _, _, best_t, best_i, best_u, best_v = lax.while_loop(cond, body, init)
     t_ref[0, 0, :] = best_t[0]
     i_ref[0, 0, :] = best_i[0]
+    u_ref[0, 0, :] = best_u[0]
+    v_ref[0, 0, :] = best_v[0]
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
@@ -677,13 +691,15 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
     (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
-    -> (t (T, 256), idx (T, 256)) with idx = position*4+lane into the key
-    list (same convention as mt_resolve over the gathered layout)."""
+    -> (t (T, 256), idx (T, 256), u (T, 256), v (T, 256)) with idx =
+    position*4+lane into the key list (same convention as mt_resolve over
+    the gathered layout); u/v are the winner's barycentrics."""
     T = keys.shape[0]
     nb = lbg.shape[2]
-    prec = {"highest": lax.Precision.HIGHEST,
-            "high": lax.Precision.HIGH}.get(mt_precision, "vpu")
-    t_out, i_out = pl.pallas_call(
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions; "vpu"
+    # bypasses the MXU entirely (exact f32 broadcast FMAs)
+    prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
+    t_out, i_out, u_out, v_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec),
         grid=(T,),
         in_specs=[
@@ -704,13 +720,12 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
         out_shape=(
             jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
         ),
-        out_specs=(
+        out_specs=tuple(
             pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+                         memory_space=pltpu.VMEM) for _ in range(4)),
         scratch_shapes=[
             pltpu.VMEM((2 * TRI_BLK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _LPB)),
@@ -718,7 +733,8 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
         interpret=interpret,
     )(keys.reshape(T, 1, k_cap), counts.reshape(T, 1, 1), lbg,
       tmax.reshape(T, 1, 1), o_t, d_t, gtab_flat)
-    return t_out.reshape(T, TILE), i_out.reshape(T, TILE)
+    return (t_out.reshape(T, TILE), i_out.reshape(T, TILE),
+            u_out.reshape(T, TILE), v_out.reshape(T, TILE))
 
 
 # --------------------------------------------------------------------------
@@ -806,12 +822,14 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     d_t = jnp.transpose(d, (0, 2, 1))
     tmax = jnp.broadcast_to(
         jnp.asarray(t_max, jnp.float32), (T,)).reshape(T, 1, 1)
+    kuv = None
     if fused:
-        best_t, best_i = mt_resolve_fused(
+        best_t, best_i, ku, kv = mt_resolve_fused(
             keys_s, jnp.minimum(counts, K), lbg, tmax.reshape(T, 1),
             o_c, d_t, aux.gtab_pad, k_cap=K,
             interpret=interpret, omap_s=aux.omap_s,
             mt_precision=mt_precision)
+        kuv = (ku, kv)
     else:
         best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
                                     interpret=interpret)
@@ -824,7 +842,7 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     best_pk = row * 4 + lane
     tmax_r = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     best_t = jnp.where(best_t < tmax_r.reshape(T, TILE), best_t, BVH_FAR)
-    hits, _ = _finish(bvh8, rays, best_t, best_pk, overflow, R, T)
+    hits, _ = _finish(bvh8, rays, best_t, best_pk, overflow, R, T, kuv=kuv)
 
     if retrace:
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
@@ -847,24 +865,30 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     return hits, overflow
 
 
-def _finish(bvh8, rays, best_t, best_pk, overflow, R, T):
-    """Recover (prim, u, v) for the winning packed (leaf*4+lane)."""
-    from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
+def _finish(bvh8, rays, best_t, best_pk, overflow, R, T, kuv=None):
+    """Recover (prim, u, v) for the winning packed (leaf*4+lane).
 
-    lt = bvh8.leaf_tris
+    kuv: (u, v) (T, 256) barycentrics already recovered in-kernel (fused
+    path) — skips the per-ray geometry gathers + re-intersection."""
     lp = bvh8.leaf_prim
     ok = best_t < BVH_FAR
     wl = jnp.where(ok, best_pk >> 2, 0)
     wk = jnp.where(ok, best_pk & 3, 0)
     prim = jnp.where(ok, lp[wl, wk], -1).reshape(-1)
-    v0t, e1t, e2t = tri_edges(lt)
-    _, _, uu, vv = moller_trumbore(
-        rays.o, rays.d, v0t[wl.reshape(-1), wk.reshape(-1)],
-        e1t[wl.reshape(-1), wk.reshape(-1)],
-        e2t[wl.reshape(-1), wk.reshape(-1)],
-        jnp.full(R, BVH_FAR),
-    )
     okf = ok.reshape(-1)
+    if kuv is not None:
+        uu = kuv[0].reshape(-1)
+        vv = kuv[1].reshape(-1)
+    else:
+        from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
+
+        v0t, e1t, e2t = tri_edges(bvh8.leaf_tris)
+        _, _, uu, vv = moller_trumbore(
+            rays.o, rays.d, v0t[wl.reshape(-1), wk.reshape(-1)],
+            e1t[wl.reshape(-1), wk.reshape(-1)],
+            e2t[wl.reshape(-1), wk.reshape(-1)],
+            jnp.full(R, BVH_FAR),
+        )
     hits = Hits(
         t=jnp.where(okf, best_t.reshape(-1), BVH_FAR),
         u=jnp.where(okf, uu, 0.0),
