@@ -25,7 +25,11 @@ import numpy as np
 
 @dataclass
 class Material:
-    """Subset of the reference's Disney-style Material (tiny_scene.h:497)."""
+    """Disney-principled material (≙ tiny_scene.h:497-569). The renderers
+    sample base_color/emissive/metallic/roughness/specular (+ texture);
+    the remaining lobes are carried for asset round-trips, exactly like
+    the reference's CPU renderers, which shade a subset of the Material
+    they parse."""
 
     name: str = ""
     base_color: np.ndarray = field(
@@ -35,6 +39,19 @@ class Material:
     metallic: float = 0.0
     roughness: float = 1.0
     texture: int = -1  # index into Scene.textures
+    # Disney lobe parameters (glTF core + KHR material extensions)
+    specular: float = 0.0        # mirror weight (MATERIAL_SPECULAR analog)
+    ior: float = 1.5             # KHR_materials_ior
+    transmission: float = 0.0    # KHR_materials_transmission
+    clearcoat: float = 0.0       # KHR_materials_clearcoat
+    clearcoat_roughness: float = 0.0
+    sheen: float = 0.0           # KHR_materials_sheen (scalar weight)
+    anisotropic: float = 0.0     # KHR_materials_anisotropy
+    subsurface: float = 0.0
+    alpha_mode: str = "OPAQUE"   # OPAQUE | MASK | BLEND
+    alpha_cutoff: float = 0.5
+    double_sided: bool = True
+    normal_texture: int = -1     # index into Scene.textures (bump/normal)
 
 
 @dataclass
@@ -224,6 +241,7 @@ def load_gltf(path: str):
     materials = []
     for m in g.get("materials", []):
         pbr = m.get("pbrMetallicRoughness", {})
+        ext = m.get("extensions", {})
         materials.append(Material(
             name=m.get("name", ""),
             base_color=np.asarray(
@@ -232,6 +250,21 @@ def load_gltf(path: str):
                 m.get("emissiveFactor", [0, 0, 0]), np.float32),
             metallic=pbr.get("metallicFactor", 0.0),
             roughness=pbr.get("roughnessFactor", 1.0),
+            ior=ext.get("KHR_materials_ior", {}).get("ior", 1.5),
+            transmission=ext.get("KHR_materials_transmission", {}).get(
+                "transmissionFactor", 0.0),
+            clearcoat=ext.get("KHR_materials_clearcoat", {}).get(
+                "clearcoatFactor", 0.0),
+            clearcoat_roughness=ext.get("KHR_materials_clearcoat", {}).get(
+                "clearcoatRoughnessFactor", 0.0),
+            sheen=float(np.max(np.asarray(
+                ext.get("KHR_materials_sheen", {}).get(
+                    "sheenColorFactor", [0, 0, 0]), np.float32))),
+            anisotropic=ext.get("KHR_materials_anisotropy", {}).get(
+                "anisotropyStrength", 0.0),
+            alpha_mode=m.get("alphaMode", "OPAQUE"),
+            alpha_cutoff=m.get("alphaCutoff", 0.5),
+            double_sided=m.get("doubleSided", True),
         ))
     if not materials:
         materials = [Material()]

@@ -505,7 +505,8 @@ _LPB = TRI_BLK // 4     # leaves per 128-tri super-block
 
 def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
                      gtab_ref, t_ref, i_ref, u_ref, v_ref, buf_ref, sem_ref,
-                     *, k_cap, omap_s=0, prec=lax.Precision.HIGHEST):
+                     *, k_cap, omap_s=0, prec=lax.Precision.HIGHEST,
+                     any_hit=False):
     """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
     DMA each live leaf's (4, 48) G-row block straight from HBM into a
     double-buffered (128, 48) VMEM super-block, and run the triple-product
@@ -596,7 +597,14 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
         # this block's hits would have culled it (conservative)
         t_far = jnp.max(best_t)
         gate_n = lbg_ref[0, 0, jnp.minimum(sb + 1, nb - 1)]
-        nxt = (sb + 1 < nsb) & (gate_n <= t_far)
+        # NaN-safe: a NaN gate (degenerate tile: non-finite ray data makes
+        # maxd NaN) must PASS, not stop the walk — `gate <= t_far` is False
+        # for NaN and silently truncated live tiles (missed shadow hits)
+        nxt = (sb + 1 < nsb) & jnp.logical_not(gate_n > t_far)
+        if any_hit:
+            # occlusion query: a ray is done at ANY hit below tmax, so the
+            # tile stops once every ray's best t dropped below the cutoff
+            nxt = nxt & (t_far >= tmax)
 
         @pl.when(nxt)
         def _():
@@ -684,10 +692,10 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
-                                   "mt_precision"))
+                                   "mt_precision", "any_hit"))
 def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
                      k_cap: int, interpret: bool = False, omap_s: int = 0,
-                     mt_precision: str = "highest"):
+                     mt_precision: str = "highest", any_hit: bool = False):
     """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
     (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
@@ -700,7 +708,8 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     # bypasses the MXU entirely (exact f32 broadcast FMAs)
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
     t_out, i_out, u_out, v_out = pl.pallas_call(
-        partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec),
+        partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
+                any_hit=any_hit),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, k_cap), lambda i: (i, 0, 0),
@@ -749,13 +758,13 @@ def _decode_keys(keys):
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "sort", "fused",
-                                   "mt_precision", "max_blocks"))
+                                   "mt_precision", "max_blocks", "any_hit"))
 def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_leaves: int = 256, t_max=BVH_FAR,
                        interpret: bool = False, retrace: bool = True,
                        wf_cap_factor: int = 8, sort: bool = False,
                        fused: bool = True, mt_precision: str = "highest",
-                       max_blocks: int = 128):
+                       max_blocks: int = 128, any_hit: bool = False):
     """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
     origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
     Returns (Hits, per-tile overflow mask). With retrace=True overflowed
@@ -783,12 +792,25 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     overflow = counts > K
 
     keys_s = keys[:, :K]
+    nbk = K // 32
     if sort:
-        # near-to-far ordering enables mid-list early exit in K2; the XLA
-        # sort costs ~27 ms on 1600x256 keys, so it only pays off for
-        # scenes with long per-tile lists (K1 already compacts live keys
-        # to a prefix, so exit-at-list-end needs no sort)
+        # near-to-far ordering of every key enables mid-list early exit in
+        # K2; the XLA sort costs ~27 ms on 1600x256 keys, so it only pays
+        # off for scenes with very long per-tile lists
         keys_s = lax.sort(keys_s, dimension=1)
+    elif fused:
+        # BLOCK-gate ordering: sort only the K/32 super-blocks of each
+        # tile by their min entry distance (a tiny (T, nb) argsort + one
+        # block gather — no full key sort). Near-to-far block order makes
+        # the kernel's gate early-exit CORRECT mid-list: once the next
+        # gate exceeds every ray's best t, all later blocks do too.
+        lb0, _ = _decode_keys(keys_s)
+        lb_live = jnp.where(keys_s != _I32MAX, lb0, BVH_FAR)
+        lbmin = lb_live.reshape(T, nbk, 32).min(axis=2)      # (T, nb)
+        order = jnp.argsort(lbmin, axis=1)
+        keys_s = jnp.take_along_axis(
+            keys_s.reshape(T, nbk, 32), order[..., None], axis=1
+        ).reshape(T, K)
     lb, leaves = _decode_keys(keys_s)
     live = keys_s != _I32MAX
     lrow = jnp.where(live, leaves, 0)
@@ -811,12 +833,18 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     # BVH_FAR when a tile has miss rays)
     dlen = jnp.linalg.norm(d, axis=-1)
     maxd = jnp.maximum(dlen.max(axis=1), 1e-20)          # (T,)
-    blk_live = live.reshape(T, K // 32, 32).any(axis=2)
+    blk_live = live.reshape(T, nbk, 32).any(axis=2)
     if sort:
         gate = jnp.where(live, lb, BVH_FAR)[:, ::32] / maxd[:, None]
+    elif fused:
+        gate = (jnp.where(live, lb, BVH_FAR).reshape(T, nbk, 32).min(axis=2)
+                / maxd[:, None])
     else:
-        gate = jnp.zeros((T, K // 32), jnp.float32)
-    lbg = jnp.where(blk_live, gate, jnp.inf).reshape(T, 1, K // 32)
+        gate = jnp.zeros((T, nbk), jnp.float32)
+    # non-finite gates (tiles carrying non-finite rays, e.g. shadow
+    # segments spawned from missed primaries) degrade to 0 = always pass
+    gate = jnp.where(jnp.isfinite(gate), gate, 0.0)
+    lbg = jnp.where(blk_live, gate, jnp.inf).reshape(T, 1, nbk)
 
     o_c = jnp.transpose(o - aux.center, (0, 2, 1))       # (T, 3, 256)
     d_t = jnp.transpose(d, (0, 2, 1))
@@ -824,11 +852,16 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         jnp.asarray(t_max, jnp.float32), (T,)).reshape(T, 1, 1)
     kuv = None
     if fused:
+        # block reorder scatters live keys out of prefix order: count must
+        # cover every live block (dead keys inside are guarded in-kernel);
+        # the inf-gated dead tail is skipped by the gate early-exit
+        n_live_blk = jnp.sum(blk_live, axis=1)
+        cnt_k = jnp.where(jnp.minimum(counts, K) > 0, n_live_blk * 32, 0)
         best_t, best_i, ku, kv = mt_resolve_fused(
-            keys_s, jnp.minimum(counts, K), lbg, tmax.reshape(T, 1),
+            keys_s, cnt_k, lbg, tmax.reshape(T, 1),
             o_c, d_t, aux.gtab_pad, k_cap=K,
             interpret=interpret, omap_s=aux.omap_s,
-            mt_precision=mt_precision)
+            mt_precision=mt_precision, any_hit=any_hit)
         kuv = (ku, kv)
     else:
         best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
@@ -922,7 +955,8 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
     rays = make_rays(o, d)
     hits, overflow = intersect_packets2(
         bvh8, aux, rays, max_leaves=max_leaves, t_max=cutoff,
-        interpret=interpret, retrace=False, max_blocks=max_blocks)
+        interpret=interpret, retrace=False, max_blocks=max_blocks,
+        any_hit=True)
     occ = (hits.prim >= 0) & (hits.t < cutoff)
     if retrace:
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
