@@ -20,7 +20,10 @@ Conventions:
 from tinybvh_tpu.core.rays import Rays, Hits, make_rays
 from tinybvh_tpu.core.vecmath import BVH_FAR
 from tinybvh_tpu.api import BVH, TLAS
+from tinybvh_tpu.config import Config, get_config, set_config, use_config
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["Rays", "Hits", "make_rays", "BVH", "TLAS", "BVH_FAR", "__version__"]
+__all__ = ["Rays", "Hits", "make_rays", "BVH", "TLAS", "BVH_FAR",
+           "Config", "get_config", "set_config", "use_config",
+           "__version__"]
