@@ -219,10 +219,11 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
             return h, ov.any()
 
         def occl_seg(oo, seg):
-            """Any-hit over segments oo -> oo+seg via sorted packets."""
+            """Any-hit over segments oo -> oo+seg via sorted packets
+            (any_hit: the tile stops once every ray found an occluder)."""
             h, ov = intersect_packets2_sorted(
                 bvh8, aux, make_rays(oo, seg), scene_lo, scene_hi,
-                interpret=interp)
+                interpret=interp, any_hit=True, t_max_static=1.0 - 1e-3)
             return (h.prim >= 0) & (h.t < 1.0 - 1e-3), ov.any()
     tris = scene["tris"]
     albedo = scene["albedo"]

@@ -972,11 +972,12 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
-                                   "wf_cap_factor"))
+                                   "wf_cap_factor", "any_hit", "t_max_static"))
 def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
                               scene_lo, scene_hi, max_leaves: int = 256,
                               interpret: bool = False, retrace: bool = True,
-                              wf_cap_factor: int = 8):
+                              wf_cap_factor: int = 8, any_hit: bool = False,
+                              t_max_static: float = BVH_FAR):
     """Packet trace v2 for INCOHERENT rays: coherence-sort into tiles
     (direction cell + origin morton), trace, scatter back to input order.
     Returns (Hits in input order, per-ray fallback mask)."""
@@ -990,7 +991,8 @@ def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
               mask=rays.mask[order])
     hits, overflow = intersect_packets2(
         bvh8, aux, rs, max_leaves=max_leaves, interpret=interpret,
-        retrace=retrace, wf_cap_factor=wf_cap_factor)
+        retrace=retrace, wf_cap_factor=wf_cap_factor, any_hit=any_hit,
+        t_max=t_max_static)
     ov_ray = jnp.repeat(overflow, TILE)[inverse]
     return Hits(t=hits.t[inverse], u=hits.u[inverse], v=hits.v[inverse],
                 prim=hits.prim[inverse], inst=hits.inst[inverse]), ov_ray
