@@ -189,15 +189,6 @@ def bench_scene(tris, name, ref_entry=None):
 def main():
     import jax
 
-    # persistent compilation cache: compiles go through the tunnel to the
-    # remote TPU host and cost minutes per shape; cache them across runs
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
     from tinybvh_tpu.io.loaders import load_bin, random_tris
 
     ref = {}
