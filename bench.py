@@ -134,7 +134,9 @@ def bench_scene(tris, name, ref_entry=None):
 
     # ---- primary rays (exact: overflowed tiles retraced in-call) --------
     def primary():
-        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=256)
+        # K=384 covers bunny's max per-tile survivor count (354): zero
+        # overflowed tiles, so the lax.cond'd wavefront retrace never runs
+        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=384)
 
     hits, ovf = primary()
     jax.block_until_ready(hits.t)
@@ -182,7 +184,7 @@ def bench_scene(tris, name, ref_entry=None):
 
     def diffuse():
         return intersect_packets2_sorted(
-            bvh.bvh8, aux, drays, lo, hi, max_leaves=256)
+            bvh.bvh8, aux, drays, lo, hi, max_leaves=512)
 
     try:
         dh, dov = diffuse()

@@ -881,15 +881,30 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
 
         ov_ray = jnp.repeat(overflow, TILE)
-        wf_tmax = jnp.where(ov_ray, tmax_r, 0.0)
-        wf_hits, wf_ovf = intersect_wavefront(
-            bvh8, rays, t_max=wf_tmax, cap_factor=wf_cap_factor,
-            omap=aux.omap)
+
+        # REAL runtime branch: the wavefront's per-level ops scale with
+        # its static cap_factor*R frontier (~4.6 s/call on 409k rays at
+        # cap 8), so running it unconditionally would dwarf the packet
+        # kernels. lax.cond skips it entirely when no tile overflowed —
+        # the common case pays nothing.
+        def do_retrace(_):
+            wf_tmax = jnp.where(ov_ray, tmax_r, 0.0)
+            wf_hits, wf_ovf = intersect_wavefront(
+                bvh8, rays, t_max=wf_tmax, cap_factor=wf_cap_factor,
+                omap=aux.omap)
+            return (wf_hits.t, wf_hits.u, wf_hits.v, wf_hits.prim, wf_ovf)
+
+        def skip(_):
+            return (hits.t, hits.u, hits.v, hits.prim,
+                    jnp.zeros((), bool))
+
+        wt, wu, wv, wp, wf_ovf = lax.cond(
+            jnp.any(overflow), do_retrace, skip, 0)
         hits = Hits(
-            t=jnp.where(ov_ray, wf_hits.t, hits.t),
-            u=jnp.where(ov_ray, wf_hits.u, hits.u),
-            v=jnp.where(ov_ray, wf_hits.v, hits.v),
-            prim=jnp.where(ov_ray, wf_hits.prim, hits.prim),
+            t=jnp.where(ov_ray, wt, hits.t),
+            u=jnp.where(ov_ray, wu, hits.u),
+            v=jnp.where(ov_ray, wv, hits.v),
+            prim=jnp.where(ov_ray, wp, hits.prim),
             inst=hits.inst,
         )
         # after an exact retrace, report only tiles that may STILL be
@@ -962,10 +977,18 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
 
         ov_ray = jnp.repeat(overflow, TILE)
-        wf_tmax = jnp.where(ov_ray, jnp.float32(cutoff), 0.0)
-        _, wf_occ, wf_ovf = intersect_wavefront(
-            bvh8, rays, t_max=wf_tmax, cap_factor=wf_cap_factor,
-            any_hit=True, omap=aux.omap)
+
+        def do_retrace(_):
+            wf_tmax = jnp.where(ov_ray, jnp.float32(cutoff), 0.0)
+            _, wf_occ, wf_ovf = intersect_wavefront(
+                bvh8, rays, t_max=wf_tmax, cap_factor=wf_cap_factor,
+                any_hit=True, omap=aux.omap)
+            return wf_occ, wf_ovf
+
+        def skip(_):
+            return occ, jnp.zeros((), bool)
+
+        wf_occ, wf_ovf = lax.cond(jnp.any(overflow), do_retrace, skip, 0)
         occ = jnp.where(ov_ray, wf_occ, occ)
         overflow = overflow & wf_ovf
     return occ, overflow
