@@ -23,6 +23,7 @@ Prints ONE JSON line; headline = bunny primary MRays/s.
 import json
 import os
 import time
+import traceback
 
 import numpy as np
 
@@ -180,13 +181,22 @@ def bench_scene(tris, name, ref_entry=None):
     dd = rng.normal(size=(n_rays, 3)).astype(np.float32)
     dd /= np.linalg.norm(dd, axis=1, keepdims=True)
     dd = np.where((np.sum(dd * nrm, axis=1) < 0)[:, None], -dd, dd)
-    drays = make_rays((p + nrm * 1e-3).astype(np.float32), dd)
-
-    def diffuse():
-        return intersect_packets2_sorted(
-            bvh.bvh8, aux, drays, lo, hi, max_leaves=512)
 
     try:
+        # the tunnel backend sporadically rejects the first H2D after a
+        # heavy queued phase (INVALID_ARGUMENT at device_put) — retry once
+        do = (p + nrm * 1e-3).astype(np.float32)
+        try:
+            drays = make_rays(do, dd)
+            jax.block_until_ready(drays.o)
+        except Exception:
+            time.sleep(15)
+            drays = make_rays(do, dd)
+
+        def diffuse():
+            return intersect_packets2_sorted(
+                bvh.bvh8, aux, drays, lo, hi, max_leaves=512)
+
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)
         t = _amortized(diffuse)
@@ -223,7 +233,8 @@ def main():
     try:
         res_bunny = bench_scene(bunny, scene_name, ref.get("bunny"))
     except Exception as e:  # pragma: no cover - device-dependent
-        res_bunny = {"error": repr(e)[:300]}
+        res_bunny = {"error": repr(e)[:300],
+                     "trace": traceback.format_exc()[-1500:]}
     detail[scene_name] = res_bunny
 
     # Sponza-class scene: 2x2 grid of bunnies (278,520 tris)
