@@ -133,6 +133,17 @@ def bench_scene(tris, name, ref_entry=None):
     n_rays = d.shape[0]
     out["n_rays"] = int(n_rays)
 
+    # The tunnel backend REJECTS host->device transfers issued after a
+    # queued-dispatch (amortized) phase, so every input the later phases
+    # need is made device-resident NOW; shadow/diffuse ray batches are
+    # derived from the primary hits ON DEVICE (D2H readbacks stay fine).
+    light = (center + np.array([0, 2.0, 0]) * extent).astype(np.float32)
+    light_dev = jnp.asarray(light)
+    lo_dev = jnp.asarray(lo)
+    hi_dev = jnp.asarray(hi)
+    key_dev = jax.random.PRNGKey(1)
+    jax.block_until_ready((light_dev, lo_dev, hi_dev, key_dev))
+
     # ---- primary rays (exact: overflowed tiles retraced in-call) --------
     def primary():
         # K=384 covers bunny's max per-tile survivor count (354): zero
@@ -148,22 +159,22 @@ def bench_scene(tris, name, ref_entry=None):
 
     # ---- shadow rays from hit points toward a point light, traced as
     # packets FROM the light (shared-origin bundles) -----------------------
-    ht = np.asarray(hits.t)
-    ht = np.where(np.isfinite(ht) & (ht < 1e29), ht, 1.0)
-    p = (o + ht[:, None] * d).astype(np.float32)
-    light = (center + np.array([0, 2.0, 0]) * extent).astype(np.float32)
+    @jax.jit
+    def shadow_points(t):
+        ht = jnp.where(jnp.isfinite(t) & (t < 1e29), t, 1.0)
+        return rays.o + ht[:, None] * rays.d
 
     def shadow():
         # from-light frusta sweep much more geometry than camera tiles
         # (mean >300 leaves/tile on bunny): a 2x key budget + block
         # worklist keeps most tiles on the fast kernel instead of the
         # wavefront retrace
-        return is_occluded_packets2(bvh.bvh8, aux, light, p,
+        return is_occluded_packets2(bvh.bvh8, aux, light_dev, p_dev,
                                     max_leaves=512, max_blocks=256)
 
-    # best-effort: a transient backend error in one phase must not void
-    # the whole bench (the tunnel occasionally drops a dispatch)
+    # best-effort: an error in one phase must not void the whole bench
     try:
+        p_dev = shadow_points(hits.t)
         occ, sovf = shadow()
         jax.block_until_ready(occ)
         t = _amortized(shadow)
@@ -173,29 +184,29 @@ def bench_scene(tris, name, ref_entry=None):
         out["shadow_error"] = repr(e)[:160]
 
     # ---- diffuse bounce rays (incoherent) via coherence sort -------------
-    rng = np.random.default_rng(1)
-    tri_hit = tris[np.maximum(np.asarray(hits.prim), 0)]
-    nrm = np.cross(tri_hit[:, 1] - tri_hit[:, 0], tri_hit[:, 2] - tri_hit[:, 0])
-    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
-    nrm = np.where((np.sum(nrm * d, axis=1) > 0)[:, None], -nrm, nrm)
-    dd = rng.normal(size=(n_rays, 3)).astype(np.float32)
-    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
-    dd = np.where((np.sum(dd * nrm, axis=1) < 0)[:, None], -dd, dd)
-
     try:
-        # the tunnel backend sporadically rejects the first H2D after a
-        # heavy queued phase (INVALID_ARGUMENT at device_put) — retry once
-        do = (p + nrm * 1e-3).astype(np.float32)
-        try:
-            drays = make_rays(do, dd)
-            jax.block_until_ready(drays.o)
-        except Exception:
-            time.sleep(15)
-            drays = make_rays(do, dd)
+        tris_dev = bvh.tris
+
+        @jax.jit
+        def diffuse_rays(prim, p, key):
+            tri = tris_dev[jnp.maximum(prim, 0)]
+            nrm = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+            nrm = nrm / jnp.maximum(
+                jnp.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+            nrm = jnp.where(
+                (jnp.sum(nrm * rays.d, axis=1) > 0)[:, None], -nrm, nrm)
+            dd = jax.random.normal(key, (p.shape[0], 3), jnp.float32)
+            dd = dd / jnp.linalg.norm(dd, axis=1, keepdims=True)
+            dd = jnp.where(
+                (jnp.sum(dd * nrm, axis=1) < 0)[:, None], -dd, dd)
+            return p + nrm * 1e-3, dd
+
+        do_dev, dd_dev = diffuse_rays(hits.prim, p_dev, key_dev)
+        drays = make_rays(do_dev, dd_dev)
 
         def diffuse():
             return intersect_packets2_sorted(
-                bvh.bvh8, aux, drays, lo, hi, max_leaves=512)
+                bvh.bvh8, aux, drays, lo_dev, hi_dev, max_leaves=512)
 
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)
@@ -207,7 +218,12 @@ def bench_scene(tris, name, ref_entry=None):
     return out
 
 
-def main():
+def _sub_section(section):
+    """Run ONE scene section in this process and print its JSON.
+
+    Each section runs in its own subprocess: after a queued-dispatch
+    phase the tunnel backend rejects further H2D transfers, so the next
+    scene's upload would fail in the same process."""
     import jax
 
     from tinybvh_tpu.io.loaders import load_bin, random_tris
@@ -218,7 +234,6 @@ def main():
             ref = json.load(f)
     except OSError:
         pass
-
     try:
         bunny = load_bin("/root/reference/testdata/bunny.bin")
         scene_name = "bunny"
@@ -226,32 +241,20 @@ def main():
         bunny = random_tris(65536, seed=0)
         scene_name = "random64k"
 
-    # initialize the device first so build timing excludes TPU cold start
-    jax.block_until_ready(jax.numpy.zeros(8) + 1)
-
-    detail = {"device": str(jax.devices()[0]), "scene": scene_name}
-    try:
-        res_bunny = bench_scene(bunny, scene_name, ref.get("bunny"))
-    except Exception as e:  # pragma: no cover - device-dependent
-        res_bunny = {"error": repr(e)[:300],
-                     "trace": traceback.format_exc()[-1500:]}
-    detail[scene_name] = res_bunny
-
-    # Sponza-class scene: 2x2 grid of bunnies (278,520 tris)
-    try:
+    if section == "bunny":
+        out = bench_scene(bunny, scene_name, ref.get("bunny"))
+        out["_scene_name"] = scene_name
+        out["_device"] = str(jax.devices()[0])
+    elif section == "grid4":
         ex = bunny.reshape(-1, 3).max(0) - bunny.reshape(-1, 3).min(0)
         grid = np.concatenate(
             [bunny + np.array([ex[0] * 1.1 * (g & 1), ex[1] * 1.1 * (g >> 1),
                                0], np.float32) for g in range(4)])
-        detail["bunny_grid4"] = bench_scene(grid, "bunny_grid4",
-                                            ref.get("bunny_grid4"))
-    except Exception as e:  # pragma: no cover - device-dependent
-        detail["grid_error"] = repr(e)[:200]
-
-    # glTF scene through the full scene layer (load -> anim/update ->
-    # BLAS policies -> TLAS) traced by the two-level wavefront — the
-    # scene-stack end-to-end metric (≙ tiny_bvh_gltf.cpp)
-    try:
+        out = bench_scene(grid, "bunny_grid4", ref.get("bunny_grid4"))
+    elif section == "drone":
+        # glTF scene through the full scene layer (load -> anim/update ->
+        # BLAS policies -> TLAS) traced by the two-level wavefront — the
+        # scene-stack end-to-end metric (≙ tiny_bvh_gltf.cpp)
         import jax.numpy as jnp
 
         from tinybvh_tpu.core.rays import make_rays
@@ -276,15 +279,52 @@ def main():
         h = scene_trace()
         jax.block_until_ready(h.t)
         t = _amortized(scene_trace, n=4)
-        detail["drone_gltf"] = {
+        out = {
             "n_tris": int(sum(m.tris.shape[0] for m in sc.meshes)),
             "n_instances": int(len(sc._instances)),
             "scene_update_s": round(up_s, 3),
             "tlas_mrays": round(o.shape[0] / t / 1e6, 3),
             "hit_rate": round(float(np.mean(np.asarray(h.prim) >= 0)), 4),
         }
-    except Exception as e:  # pragma: no cover - data-dependent
-        detail["drone_error"] = repr(e)[:200]
+    else:
+        out = {"error": f"unknown section {section}"}
+    print("BENCH_SUB " + json.dumps(out))
+
+
+def main():
+    import subprocess
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--sub":
+        try:
+            _sub_section(sys.argv[2])
+        except Exception as e:  # pragma: no cover - device-dependent
+            print("BENCH_SUB " + json.dumps(
+                {"error": repr(e)[:300],
+                 "trace": traceback.format_exc()[-1200:]}))
+        return
+
+    detail = {}
+    me = os.path.abspath(__file__)
+    for section, budget in (("bunny", 3600), ("grid4", 3600),
+                            ("drone", 2400)):
+        try:
+            r = subprocess.run(
+                [sys.executable, me, "--sub", section],
+                capture_output=True, text=True, timeout=budget)
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("BENCH_SUB ")]
+            if line:
+                detail[section] = json.loads(line[-1][10:])
+            else:
+                detail[section + "_error"] = (r.stdout + r.stderr)[-300:]
+        except Exception as e:  # pragma: no cover
+            detail[section + "_error"] = repr(e)[:200]
+
+    res_bunny = detail.get("bunny", {})
+    scene_name = res_bunny.pop("_scene_name", "bunny")
+    detail["device"] = res_bunny.pop("_device", "?")
+    detail["scene"] = scene_name
 
     target = 500.0  # BASELINE.json north-star MRays/s per chip
     result = {
