@@ -32,3 +32,30 @@ def test_from_vertex_buffer_strided_and_indexed(rng):
     np.testing.assert_allclose(np.asarray(b2.intersect(r).t),
                                np.asarray(b0.intersect(r).t),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_engine_selection_parity(rng):
+    """Every engine choice returns the same exact hits (≙ the reference's
+    per-layout Intersect parity in speedtest's ValidateTraceResult)."""
+    from tinybvh_tpu.io.loaders import random_tris
+
+    tris = random_tris(400, seed=2)
+    b = BVH(tris)
+    o = rng.uniform(-2, 12, (512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    base = b.intersect(rays, engine="lockstep")
+    for eng in ("auto", "wavefront", "packets"):
+        h = b.intersect(rays, engine=eng)
+        np.testing.assert_array_equal(np.asarray(h.prim),
+                                      np.asarray(base.prim), err_msg=eng)
+        m = np.asarray(base.prim) >= 0
+        np.testing.assert_allclose(np.asarray(h.t)[m],
+                                   np.asarray(base.t)[m], rtol=1e-4,
+                                   atol=1e-5, err_msg=eng)
+    occ0 = np.asarray(b.is_occluded(rays, 5.0, engine="lockstep"))
+    for eng in ("auto", "wavefront"):
+        np.testing.assert_array_equal(
+            np.asarray(b.is_occluded(rays, 5.0, engine=eng)), occ0,
+            err_msg=eng)

@@ -130,8 +130,44 @@ class BVH:
         return self._packet_aux
 
     # -- queries ----------------------------------------------------------
-    def intersect(self, rays: Rays, t_max=BVH_FAR):
-        if self.bvh8 is not None:
+    def intersect(self, rays: Rays, t_max=BVH_FAR, engine: str = "auto"):
+        """Closest hit. engine:
+          "auto"     — fastest available: wavefront over BVH8 (with
+                       overflow retry), lockstep BVH2 without bvh8
+          "packets"  — packet2 pipeline with coherence sort (TPU-compiled;
+                       needs R %% 256 == 0); exact (in-call retrace)
+          "wavefront"/"lockstep" — explicit engine pick
+        All engines are exact; they differ only in speed profile
+        (≙ the reference's per-layout Intersect dispatch)."""
+        import jax
+
+        R = rays.o.shape[0]
+        t_scalar = not hasattr(t_max, "shape")
+        if t_scalar and (engine == "packets" or (
+            engine == "auto" and self.bvh8 is not None and R % 256 == 0
+            and R >= 4096 and jax.default_backend() == "tpu"
+        )):
+            from tinybvh_tpu.traverse.packet2 import (
+                intersect_packets2_sorted,
+            )
+
+            lo, hi = self.aabb
+            h, _ = intersect_packets2_sorted(
+                self.bvh8, self.packet_aux, rays, lo, hi,
+                interpret=jax.default_backend() != "tpu",
+                t_max_static=float(t_max))
+            return h
+        if self.bvh8 is not None and engine != "lockstep2":
+            if engine in ("auto", "wavefront"):
+                from tinybvh_tpu.traverse.wavefront import (
+                    intersect_wavefront,
+                )
+
+                for cap in (4, 12):
+                    h, ovf = intersect_wavefront(
+                        self.bvh8, rays, t_max, cap_factor=cap)
+                    if not bool(np.asarray(ovf)):
+                        return h
             from tinybvh_tpu.traverse.wide import intersect_bvh8
 
             return intersect_bvh8(self.bvh8, rays, t_max)
@@ -139,8 +175,15 @@ class BVH:
             self.bvh2, self.packed_tris, rays, t_max, leaf_max=self.leaf_max
         )
 
-    def is_occluded(self, rays: Rays, t_max):
+    def is_occluded(self, rays: Rays, t_max, engine: str = "auto"):
+        """Any-hit occlusion; engine semantics as in intersect()."""
         if self.bvh8 is not None:
+            if engine in ("auto", "wavefront"):
+                from tinybvh_tpu.traverse.wavefront import (
+                    is_occluded_wavefront,
+                )
+
+                return is_occluded_wavefront(self.bvh8, rays, t_max)
             from tinybvh_tpu.traverse.wide import is_occluded_bvh8
 
             return is_occluded_bvh8(self.bvh8, rays, t_max)
