@@ -306,8 +306,8 @@ def main():
 
     detail = {}
     me = os.path.abspath(__file__)
-    for section, budget in (("bunny", 3600), ("grid4", 3600),
-                            ("drone", 2400)):
+    for section, budget in (("bunny", 2400), ("grid4", 1800),
+                            ("drone", 1200)):
         try:
             r = subprocess.run(
                 [sys.executable, me, "--sub", section],
