@@ -65,14 +65,21 @@ def _time3(fn):
 
 
 def _amortized(fn_async, n=8):
-    """Sustained per-call seconds: queue n async dispatches, sync once —
-    pays the tunnel round-trip once instead of per call."""
+    """Sustained per-call seconds with a 2-deep dispatch window: the
+    device always has the next call queued (hides the ~30 ms tunnel
+    round-trip) without the deep async queue that tips the backend into
+    rejecting subsequent H2D transfers."""
     import jax
 
     jax.block_until_ready(fn_async())   # warm
     t0 = time.perf_counter()
-    outs = [fn_async() for _ in range(n)]
-    jax.block_until_ready(outs)
+    prev = None
+    for _ in range(n):
+        cur = fn_async()
+        if prev is not None:
+            jax.block_until_ready(prev)
+        prev = cur
+    jax.block_until_ready(prev)
     return (time.perf_counter() - t0) / n
 
 
