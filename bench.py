@@ -80,7 +80,11 @@ def _amortized(fn_async, n=8):
             jax.block_until_ready(prev)
         prev = cur
     jax.block_until_ready(prev)
-    return (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / n
+    # let the result buffers' async deallocations drain before the next
+    # phase issues transfers (the tunnel allocator races otherwise)
+    time.sleep(2.0)
+    return dt
 
 
 def bench_scene(tris, name, ref_entry=None):
