@@ -153,13 +153,19 @@ def bench_scene(tris, name, ref_entry=None):
     lo_dev = jnp.asarray(lo)
     hi_dev = jnp.asarray(hi)
     key_dev = jax.random.PRNGKey(1)
-    jax.block_until_ready((light_dev, lo_dev, hi_dev, key_dev))
+    # scalar jit args count too: a python-float t_max/cutoff becomes a
+    # device_put at EVERY dispatch — convert once, up front
+    far_dev = jnp.asarray(1e30, jnp.float32)
+    cut_dev = jnp.asarray(1.0 - 1e-3, jnp.float32)
+    jax.block_until_ready((light_dev, lo_dev, hi_dev, key_dev, far_dev,
+                           cut_dev))
 
     # ---- primary rays (exact: overflowed tiles retraced in-call) --------
     def primary():
         # K=384 covers bunny's max per-tile survivor count (354): zero
         # overflowed tiles, so the lax.cond'd wavefront retrace never runs
-        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=384)
+        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=384,
+                                  t_max=far_dev)
 
     hits, ovf = primary()
     jax.block_until_ready(hits.t)
@@ -181,6 +187,7 @@ def bench_scene(tris, name, ref_entry=None):
         # worklist keeps most tiles on the fast kernel instead of the
         # wavefront retrace
         return is_occluded_packets2(bvh.bvh8, aux, light_dev, p_dev,
+                                    cutoff=cut_dev,
                                     max_leaves=512, max_blocks=256)
 
     # best-effort: an error in one phase must not void the whole bench
@@ -198,6 +205,9 @@ def bench_scene(tris, name, ref_entry=None):
     try:
         tris_dev = bvh.tris
 
+        from tinybvh_tpu.core.rays import RAY_MASK_ALL, Rays
+        from tinybvh_tpu.core.vecmath import safe_rcp
+
         @jax.jit
         def diffuse_rays(prim, p, key):
             tri = tris_dev[jnp.maximum(prim, 0)]
@@ -210,14 +220,19 @@ def bench_scene(tris, name, ref_entry=None):
             dd = dd / jnp.linalg.norm(dd, axis=1, keepdims=True)
             dd = jnp.where(
                 (jnp.sum(dd * nrm, axis=1) < 0)[:, None], -dd, dd)
-            return p + nrm * 1e-3, dd
+            # assemble the Rays fields in-graph: even make_rays' eager
+            # mask fill would be a host->device scalar put
+            mask = jnp.full(p.shape[0], RAY_MASK_ALL, jnp.int32)
+            return p + nrm * 1e-3, dd, safe_rcp(dd), mask
 
-        do_dev, dd_dev = diffuse_rays(hits.prim, p_dev, key_dev)
-        drays = make_rays(do_dev, dd_dev)
+        do_dev, dd_dev, rd_dev, mask_dev = diffuse_rays(
+            hits.prim, p_dev, key_dev)
+        drays = Rays(o=do_dev, d=dd_dev, rd=rd_dev, mask=mask_dev)
 
         def diffuse():
             return intersect_packets2_sorted(
-                bvh.bvh8, aux, drays, lo_dev, hi_dev, max_leaves=512)
+                bvh.bvh8, aux, drays, lo_dev, hi_dev, max_leaves=512,
+                t_max_static=1e30)
 
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)
@@ -283,8 +298,12 @@ def _sub_section(section):
         o, d, _, _ = _camera_rays(lo, hi, W=256, H=256)
         rays = make_rays(o, d)
 
+        far_dev = jnp.asarray(1e30, jnp.float32)
+        jax.block_until_ready(far_dev)
+
         def scene_trace():
-            h, _ = intersect_tlas_wavefront(sc.tlas, rays, cap_factor=6)
+            h, _ = intersect_tlas_wavefront(sc.tlas, rays, far_dev,
+                                            cap_factor=6)
             return h
 
         h = scene_trace()
