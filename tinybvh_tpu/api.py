@@ -180,10 +180,15 @@ class BVH:
         if self.bvh8 is not None:
             if engine in ("auto", "wavefront"):
                 from tinybvh_tpu.traverse.wavefront import (
-                    is_occluded_wavefront,
+                    intersect_wavefront,
                 )
 
-                return is_occluded_wavefront(self.bvh8, rays, t_max)
+                for cap in (8, 24):
+                    _, occ, ovf = intersect_wavefront(
+                        self.bvh8, rays, t_max, cap_factor=cap,
+                        any_hit=True)
+                    if not bool(np.asarray(ovf)):
+                        return occ
             from tinybvh_tpu.traverse.wide import is_occluded_bvh8
 
             return is_occluded_bvh8(self.bvh8, rays, t_max)
