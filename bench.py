@@ -65,29 +65,29 @@ def _time3(fn):
 
 
 def _amortized(fn_async, n=8):
-    """Sustained per-call seconds with a 2-deep dispatch window: the
-    device always has the next call queued (hides the ~30 ms tunnel
-    round-trip) without the deep async queue that tips the backend into
-    rejecting subsequent H2D transfers."""
+    """Sustained per-call seconds: queue n async dispatches, sync once
+    (pays the tunnel round-trip once), then force a D2H readback as the
+    hard completion barrier (this backend's per-array block_until_ready
+    has returned early under a dispatch window)."""
     import jax
 
     jax.block_until_ready(fn_async())   # warm
     t0 = time.perf_counter()
-    prev = None
-    for _ in range(n):
-        cur = fn_async()
-        if prev is not None:
-            jax.block_until_ready(prev)
-        prev = cur
-    jax.block_until_ready(prev)
+    outs = [fn_async() for _ in range(n)]
+    jax.block_until_ready(outs)
+    np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[:1]
     dt = (time.perf_counter() - t0) / n
-    # let the result buffers' async deallocations drain before the next
-    # phase issues transfers (the tunnel allocator races otherwise)
+    # let result-buffer deallocations drain before the next phase
     time.sleep(2.0)
     return dt
 
 
-def bench_scene(tris, name, ref_entry=None):
+class _SkipPhase(Exception):
+    pass
+
+
+def bench_scene(tris, name, ref_entry=None,
+                phases=("primary", "shadow", "diffuse")):
     import jax
     import jax.numpy as jnp
 
@@ -167,10 +167,11 @@ def bench_scene(tris, name, ref_entry=None):
         return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=384,
                                   t_max=far_dev)
 
+    # warm/compile the primary NOW; measurement happens after every
+    # phase's compile+puts are done (compiles and H2D transfers issued
+    # after a queued-dispatch phase fail on this backend)
     hits, ovf = primary()
     jax.block_until_ready(hits.t)
-    t = _amortized(primary)
-    out["primary_mrays"] = round(n_rays / t / 1e6, 3)
     out["hit_rate"] = round(float(np.mean(np.asarray(hits.prim) >= 0)), 4)
     out["primary_retraced_tiles"] = int(np.asarray(ovf).sum())
 
@@ -191,18 +192,22 @@ def bench_scene(tris, name, ref_entry=None):
                                     max_leaves=512, max_blocks=256)
 
     # best-effort: an error in one phase must not void the whole bench
+    shadow_ready = False
     try:
-        p_dev = shadow_points(hits.t)
-        occ, sovf = shadow()
-        jax.block_until_ready(occ)
-        t = _amortized(shadow)
-        out["shadow_mrays"] = round(n_rays / t / 1e6, 3)
-        out["shadow_retraced_tiles"] = int(np.asarray(sovf).sum())
+        if "shadow" in phases:
+            p_dev = shadow_points(hits.t)
+            occ, sovf = shadow()
+            jax.block_until_ready(occ)
+            out["shadow_retraced_tiles"] = int(np.asarray(sovf).sum())
+            shadow_ready = True
     except Exception as e:  # pragma: no cover - device-dependent
         out["shadow_error"] = repr(e)[:160]
 
     # ---- diffuse bounce rays (incoherent) via coherence sort -------------
+    diffuse_ready = False
     try:
+        if "diffuse" not in phases:
+            raise _SkipPhase()
         tris_dev = bvh.tris
 
         from tinybvh_tpu.core.rays import RAY_MASK_ALL, Rays
@@ -236,11 +241,28 @@ def bench_scene(tris, name, ref_entry=None):
 
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)
-        t = _amortized(diffuse)
-        out["diffuse_mrays"] = round(n_rays / t / 1e6, 3)
         out["diffuse_retraced_rays"] = int(np.asarray(dov).sum())
+        diffuse_ready = True
+    except _SkipPhase:
+        pass
     except Exception as e:  # pragma: no cover - device-dependent
         out["diffuse_error"] = repr(e)[:160]
+
+    # ---- measurement: everything is compiled and device-resident --------
+    t = _amortized(primary)
+    out["primary_mrays"] = round(n_rays / t / 1e6, 3)
+    if shadow_ready:
+        try:
+            t = _amortized(shadow)
+            out["shadow_mrays"] = round(n_rays / t / 1e6, 3)
+        except Exception as e:  # pragma: no cover
+            out["shadow_error"] = repr(e)[:160]
+    if diffuse_ready:
+        try:
+            t = _amortized(diffuse)
+            out["diffuse_mrays"] = round(n_rays / t / 1e6, 3)
+        except Exception as e:  # pragma: no cover
+            out["diffuse_error"] = repr(e)[:160]
     return out
 
 
@@ -276,7 +298,10 @@ def _sub_section(section):
         grid = np.concatenate(
             [bunny + np.array([ex[0] * 1.1 * (g & 1), ex[1] * 1.1 * (g >> 1),
                                0], np.float32) for g in range(4)])
-        out = bench_scene(grid, "bunny_grid4", ref.get("bunny_grid4"))
+        # primary-only: the per-shape remote compiles (~5-15 min each)
+        # blow the section budget with all three phases at this scene size
+        out = bench_scene(grid, "bunny_grid4", ref.get("bunny_grid4"),
+                          phases=("primary",))
     elif section == "drone":
         # glTF scene through the full scene layer (load -> anim/update ->
         # BLAS policies -> TLAS) traced by the two-level wavefront — the
