@@ -2,26 +2,33 @@
 
 Mirrors tiny_bvh_speedtest's primary/shadow/diffuse benchmark
 (tiny_bvh_speedtest.cpp:174-336): build a BVH over a real scene, fire
-camera primary rays (1280x1280 = 1.64M, amortizing the tunnel's ~30 ms
-per-dispatch floor; the reference's GPU speedtest uses 2.4M-ray batches),
-shadow rays toward a point light, and incoherent diffuse bounce rays;
-report MRays/s. Two scenes: the Stanford bunny
-(69,630 tris) and a 2x2 bunny grid (278,520 tris — the Sponza-class stand-
-in; the reference checkout's large scene blobs are stripped). All traces
-ride the packet2 pipeline (dense Pallas cull + fused DMA/MT kernel) with
-exact wavefront retrace of overflowed tiles, so every number is for an
-EXACT trace.
+camera primary rays, shadow rays toward a point light, and incoherent
+diffuse bounce rays; report MRays/s. Scenes: the Stanford bunny
+(69,630 tris), a 2x2 bunny grid (278,520 tris) and a 4x4 grid (1.1M
+tris — the >=1M scale point), plus a glTF scene through the full scene
+layer. All traces ride the packet2 pipeline (dense Pallas cull + fused
+DMA/MT kernel) with exact wavefront retrace of overflowed tiles, so
+every number is for an EXACT trace.
 
-`sah_vs_ref` compares our binned-SAH cost against the UPSTREAM reference
-builder run on the same geometry on this same machine
-(benchmarks/ref_baseline.cpp → benchmarks/ref_baseline.json), ≙ the SAH
-column of tiny_bvh_speedtest.cpp:597-682.
+KILL-SAFE STREAMING: the reference harness prints progressive
+per-section results as it goes (tiny_bvh_speedtest.cpp:592-1250); round
+2's buffered single-line version was killed by the driver with an empty
+tail. This version (a) prints the full cumulative headline JSON line
+after EVERY section (the last line of output is always parseable),
+(b) streams per-phase BENCH_SUB lines inside each section so a section
+killed mid-flight still yields its finished phases, and (c) tracks a
+global wall deadline (BENCH_BUDGET_S, default 2400 s) and skips
+sections that no longer fit.
 
-Prints ONE JSON line; headline = bunny primary MRays/s.
+`sah_vs_ref` compares our binned-SAH cost against the UPSTREAM
+reference builder run on the same geometry on this same machine
+(benchmarks/ref_baseline.cpp -> benchmarks/ref_baseline.json), ≙ the
+SAH column of tiny_bvh_speedtest.cpp:597-682.
 """
 
 import json
 import os
+import sys
 import time
 import traceback
 
@@ -54,16 +61,6 @@ def _camera_rays(lo, hi, W=640, H=640):
     return o, d, center, extent
 
 
-def _time3(fn):
-    """Min wall time over 3 repeats of an already-warm callable."""
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
 def _amortized(fn_async, n=8):
     """Sustained per-call seconds: queue n async dispatches, sync once
     (pays the tunnel round-trip once), then force a D2H readback as the
@@ -80,6 +77,12 @@ def _amortized(fn_async, n=8):
     # let result-buffer deallocations drain before the next phase
     time.sleep(2.0)
     return dt
+
+
+def _emit(out):
+    """Stream a cumulative snapshot of this section's results; the parent
+    keeps only the LAST line, so re-printing the growing dict is safe."""
+    print("BENCH_SUB " + json.dumps(out), flush=True)
 
 
 class _SkipPhase(Exception):
@@ -134,6 +137,25 @@ def bench_scene(tris, name, ref_entry=None,
             out["sah_vs_ref"] = round(sah / ref_entry["sah"], 4)
             out["ref_cpu_trace_mrays_s"] = ref_entry["trace_mrays_s"]
             out["ref_avx_build_mtris_s"] = ref_entry["avx_mtris_s"]
+    _emit(out)
+
+    # ---- on-device build (LBVH radix build, fully jitted): warm/compile
+    # now, measure LAST (amortized phases poison later H2D on this
+    # backend, and the warm itself is sync-dispatched so it's safe here)
+    device_build = None
+    try:
+        from tinybvh_tpu.builders.lbvh import build_lbvh
+
+        tris_dev2 = jax.device_put(jnp.asarray(tris, jnp.float32))
+        jax.block_until_ready(tris_dev2)
+        b0 = build_lbvh(tris_dev2)
+        jax.block_until_ready(b0.node_min)
+        del b0
+
+        def device_build():
+            return build_lbvh(tris_dev2).node_min
+    except Exception as e:  # pragma: no cover - device-dependent
+        out["build_device_error"] = repr(e)[:160]
 
     aux = bvh.packet_aux
     jax.block_until_ready(aux.gtab_pad)
@@ -162,10 +184,11 @@ def bench_scene(tris, name, ref_entry=None,
 
     # ---- primary rays (exact: overflowed tiles retraced in-call) --------
     def primary():
-        # K=384 covers bunny's max per-tile survivor count (354): zero
-        # overflowed tiles, so the lax.cond'd wavefront retrace never runs
-        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=384,
-                                  t_max=far_dev)
+        # K=512 covers every scene's per-tile survivor count we bench
+        # (bunny max 354): zero overflowed tiles in the common case, and
+        # ONE k_cap shape shared by all three phases = one cull compile
+        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=512,
+                                  t_max=far_dev, max_blocks=256)
 
     # warm/compile the primary NOW; measurement happens after every
     # phase's compile+puts are done (compiles and H2D transfers issued
@@ -174,6 +197,7 @@ def bench_scene(tris, name, ref_entry=None,
     jax.block_until_ready(hits.t)
     out["hit_rate"] = round(float(np.mean(np.asarray(hits.prim) >= 0)), 4)
     out["primary_retraced_tiles"] = int(np.asarray(ovf).sum())
+    _emit(out)
 
     # ---- shadow rays from hit points toward a point light, traced as
     # packets FROM the light (shared-origin bundles) -----------------------
@@ -247,34 +271,60 @@ def bench_scene(tris, name, ref_entry=None,
         pass
     except Exception as e:  # pragma: no cover - device-dependent
         out["diffuse_error"] = repr(e)[:160]
+    _emit(out)
 
     # ---- measurement: everything is compiled and device-resident --------
     t = _amortized(primary)
     out["primary_mrays"] = round(n_rays / t / 1e6, 3)
+    _emit(out)
     if shadow_ready:
         try:
             t = _amortized(shadow)
             out["shadow_mrays"] = round(n_rays / t / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out["shadow_error"] = repr(e)[:160]
+        _emit(out)
     if diffuse_ready:
         try:
             t = _amortized(diffuse)
             out["diffuse_mrays"] = round(n_rays / t / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out["diffuse_error"] = repr(e)[:160]
+        _emit(out)
+    if device_build is not None:
+        try:
+            t = _amortized(device_build, n=4)
+            out["build_device_s"] = round(t, 4)
+            out["build_device_mtris_s"] = round(n_tris / t / 1e6, 3)
+        except Exception as e:  # pragma: no cover
+            out["build_device_error"] = repr(e)[:160]
+        _emit(out)
     return out
 
 
+def _load_bunny():
+    from tinybvh_tpu.io.loaders import load_bin, random_tris
+
+    try:
+        return load_bin("/root/reference/testdata/bunny.bin"), "bunny"
+    except OSError:
+        return random_tris(65536, seed=0), "random64k"
+
+
+def _bunny_grid(bunny, nx, ny):
+    ex = bunny.reshape(-1, 3).max(0) - bunny.reshape(-1, 3).min(0)
+    return np.concatenate(
+        [bunny + np.array([ex[0] * 1.1 * i, ex[1] * 1.1 * j, 0], np.float32)
+         for i in range(nx) for j in range(ny)])
+
+
 def _sub_section(section):
-    """Run ONE scene section in this process and print its JSON.
+    """Run ONE scene section in this process, streaming BENCH_SUB lines.
 
     Each section runs in its own subprocess: after a queued-dispatch
     phase the tunnel backend rejects further H2D transfers, so the next
     scene's upload would fail in the same process."""
     import jax
-
-    from tinybvh_tpu.io.loaders import load_bin, random_tris
 
     ref = {}
     try:
@@ -282,26 +332,21 @@ def _sub_section(section):
             ref = json.load(f)
     except OSError:
         pass
-    try:
-        bunny = load_bin("/root/reference/testdata/bunny.bin")
-        scene_name = "bunny"
-    except OSError:
-        bunny = random_tris(65536, seed=0)
-        scene_name = "random64k"
+    bunny, scene_name = _load_bunny()
 
     if section == "bunny":
         out = bench_scene(bunny, scene_name, ref.get("bunny"))
         out["_scene_name"] = scene_name
         out["_device"] = str(jax.devices()[0])
     elif section == "grid4":
-        ex = bunny.reshape(-1, 3).max(0) - bunny.reshape(-1, 3).min(0)
-        grid = np.concatenate(
-            [bunny + np.array([ex[0] * 1.1 * (g & 1), ex[1] * 1.1 * (g >> 1),
-                               0], np.float32) for g in range(4)])
-        # primary-only: the per-shape remote compiles (~5-15 min each)
-        # blow the section budget with all three phases at this scene size
-        out = bench_scene(grid, "bunny_grid4", ref.get("bunny_grid4"),
-                          phases=("primary",))
+        out = bench_scene(_bunny_grid(bunny, 2, 2), "bunny_grid4",
+                          ref.get("bunny_grid4"), phases=("primary",))
+    elif section == "grid16":
+        # >=1M-tri scale point (≙ the reference's Sponza-class baseline,
+        # tiny_bvh_speedtest.cpp:487-495): exposes the dense-cull O(N*T)
+        # behavior and HBM-resident node tables
+        out = bench_scene(_bunny_grid(bunny, 4, 4), "bunny_grid16",
+                          None, phases=("primary",))
     elif section == "drone":
         # glTF scene through the full scene layer (load -> anim/update ->
         # BLAS policies -> TLAS) traced by the two-level wavefront — the
@@ -333,22 +378,41 @@ def _sub_section(section):
 
         h = scene_trace()
         jax.block_until_ready(h.t)
-        t = _amortized(scene_trace, n=4)
         out = {
             "n_tris": int(sum(m.tris.shape[0] for m in sc.meshes)),
             "n_instances": int(len(sc._instances)),
             "scene_update_s": round(up_s, 3),
-            "tlas_mrays": round(o.shape[0] / t / 1e6, 3),
             "hit_rate": round(float(np.mean(np.asarray(h.prim) >= 0)), 4),
         }
+        _emit(out)
+        t = _amortized(scene_trace, n=4)
+        out["tlas_mrays"] = round(o.shape[0] / t / 1e6, 3)
     else:
         out = {"error": f"unknown section {section}"}
-    print("BENCH_SUB " + json.dumps(out))
+    _emit(out)
+
+
+def _headline(detail):
+    res_bunny = dict(detail.get("bunny", {}))
+    scene_name = res_bunny.pop("_scene_name", "bunny")
+    detail = dict(detail)
+    detail["device"] = res_bunny.pop("_device", "?")
+    detail["scene"] = scene_name
+    detail["bunny"] = res_bunny
+
+    target = 500.0  # BASELINE.json north-star MRays/s per chip
+    mrays = res_bunny.get("primary_mrays", 0.0)
+    return {
+        "metric": f"primary_mrays_{scene_name}",
+        "value": mrays,
+        "unit": "MRays/s",
+        "vs_baseline": round(mrays / target, 4),
+        "detail": detail,
+    }
 
 
 def main():
     import subprocess
-    import sys
 
     if len(sys.argv) > 2 and sys.argv[1] == "--sub":
         try:
@@ -356,40 +420,53 @@ def main():
         except Exception as e:  # pragma: no cover - device-dependent
             print("BENCH_SUB " + json.dumps(
                 {"error": repr(e)[:300],
-                 "trace": traceback.format_exc()[-1200:]}))
+                 "trace": traceback.format_exc()[-900:]}), flush=True)
         return
 
+    t_start = time.time()
+    deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", "2400"))
     detail = {}
     me = os.path.abspath(__file__)
-    for section, budget in (("bunny", 2400), ("grid4", 1800),
-                            ("drone", 1200)):
+    only = os.environ.get("BENCH_SECTIONS", "bunny,grid4,grid16,drone")
+    # (name, max budget s, min remaining s required to even start)
+    plan = [("bunny", 1500, 300), ("grid4", 500, 240),
+            ("grid16", 600, 300), ("drone", 420, 200)]
+    for section, max_budget, min_need in plan:
+        if section not in only:
+            continue
+        remaining = deadline - time.time()
+        if remaining < min_need:
+            detail[section + "_skipped"] = f"budget ({int(remaining)}s left)"
+            continue
+        budget = min(max_budget, remaining - 10)
+        stdout = ""
         try:
             r = subprocess.run(
                 [sys.executable, me, "--sub", section],
                 capture_output=True, text=True, timeout=budget)
-            line = [ln for ln in r.stdout.splitlines()
-                    if ln.startswith("BENCH_SUB ")]
-            if line:
-                detail[section] = json.loads(line[-1][10:])
-            else:
-                detail[section + "_error"] = (r.stdout + r.stderr)[-300:]
+            stdout = r.stdout
+        except subprocess.TimeoutExpired as e:  # partial results still count
+            stdout = (e.stdout or b"")
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            detail[section + "_timeout"] = int(budget)
         except Exception as e:  # pragma: no cover
             detail[section + "_error"] = repr(e)[:200]
+        lines = [ln for ln in stdout.splitlines()
+                 if ln.startswith("BENCH_SUB ")]
+        if lines:
+            try:
+                detail[section] = json.loads(lines[-1][10:])
+            except ValueError:
+                detail[section + "_error"] = lines[-1][:200]
+        elif section + "_timeout" not in detail:
+            detail[section + "_error"] = stdout[-300:]
+        detail["elapsed_s"] = int(time.time() - t_start)
+        # cumulative headline after EVERY section: a later kill always
+        # leaves a complete, parseable JSON line as the tail
+        print(json.dumps(_headline(detail)), flush=True)
 
-    res_bunny = detail.get("bunny", {})
-    scene_name = res_bunny.pop("_scene_name", "bunny")
-    detail["device"] = res_bunny.pop("_device", "?")
-    detail["scene"] = scene_name
-
-    target = 500.0  # BASELINE.json north-star MRays/s per chip
-    result = {
-        "metric": f"primary_mrays_{scene_name}",
-        "value": res_bunny.get("primary_mrays", 0.0),
-        "unit": "MRays/s",
-        "vs_baseline": round(res_bunny.get("primary_mrays", 0.0) / target, 4),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    print(json.dumps(_headline(detail)), flush=True)
 
 
 if __name__ == "__main__":
