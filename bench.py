@@ -102,7 +102,12 @@ def bench_scene(tris, name, ref_entry=None,
     )
 
     n_tris = tris.shape[0]
+    t_sec0 = time.perf_counter()
     out = {"n_tris": int(n_tris)}
+    tm = out["phase_s"] = {}          # wall time since section start
+
+    def mark(name):
+        tm[name] = round(time.perf_counter() - t_sec0, 1)
 
     # ---- build: host C build timed apart from H2D upload + collapse -----
     got = build_binned_native(tris, max_leaf=4, return_host=True)
@@ -117,6 +122,7 @@ def bench_scene(tris, name, ref_entry=None,
     bvh = BVH(tris)
     jax.block_until_ready(bvh.bvh8.bounds)
     out["build_total_s"] = round(time.perf_counter() - t0, 4)
+    mark("build")
     if "build_host_s" in out:
         out["upload_collapse_s"] = round(
             out["build_total_s"] - out["build_host_s"], 4)
@@ -154,6 +160,7 @@ def bench_scene(tris, name, ref_entry=None,
 
         def device_build():
             return build_lbvh(tris_dev2).node_min
+        mark("lbvh_warm")
     except Exception as e:  # pragma: no cover - device-dependent
         out["build_device_error"] = repr(e)[:160]
 
@@ -197,6 +204,7 @@ def bench_scene(tris, name, ref_entry=None,
     jax.block_until_ready(hits.t)
     out["hit_rate"] = round(float(np.mean(np.asarray(hits.prim) >= 0)), 4)
     out["primary_retraced_tiles"] = int(np.asarray(ovf).sum())
+    mark("warm_primary")
     _emit(out)
 
     # ---- shadow rays from hit points toward a point light, traced as
@@ -224,6 +232,7 @@ def bench_scene(tris, name, ref_entry=None,
             jax.block_until_ready(occ)
             out["shadow_retraced_tiles"] = int(np.asarray(sovf).sum())
             shadow_ready = True
+            mark("warm_shadow")
     except Exception as e:  # pragma: no cover - device-dependent
         out["shadow_error"] = repr(e)[:160]
 
@@ -267,6 +276,7 @@ def bench_scene(tris, name, ref_entry=None,
         jax.block_until_ready(dh.t)
         out["diffuse_retraced_rays"] = int(np.asarray(dov).sum())
         diffuse_ready = True
+        mark("warm_diffuse")
     except _SkipPhase:
         pass
     except Exception as e:  # pragma: no cover - device-dependent
@@ -276,6 +286,7 @@ def bench_scene(tris, name, ref_entry=None,
     # ---- measurement: everything is compiled and device-resident --------
     t = _amortized(primary)
     out["primary_mrays"] = round(n_rays / t / 1e6, 3)
+    mark("meas_primary")
     _emit(out)
     if shadow_ready:
         try:

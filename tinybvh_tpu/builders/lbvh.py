@@ -22,13 +22,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tinybvh_tpu.core.vecmath import morton_encode_3d
 from tinybvh_tpu.layouts.bvh2 import BVH2
-
-_MAX_DEPTH_PASSES = 64
-
 
 @partial(jax.jit, static_argnames=())
 def build_lbvh(tris) -> BVH2:
@@ -136,69 +134,70 @@ def build_lbvh(tris) -> BVH2:
     left_is_leaf = jnp.minimum(idx, j) == gamma
     right_is_leaf = jnp.maximum(idx, j) == gamma + 1
 
-    cap = 2 * N + 2
-    # Canonicalize to the BVH2 convention (right child = left child + 1):
-    # internal node i gets the slot pair (2 + 2i, 3 + 2i) for its children;
-    # the root (internal 0) sits at slot 0 and slot 1 stays reserved.
-    pair_base = 2 + 2 * idx  # (N-1,) left slot of node i's child pair
-
-    # Every non-root internal node k and every leaf j is the child of
-    # exactly one parent; scatter each parent's pair slots to its children.
-    int_new = jnp.zeros(N - 1, jnp.int32)
-    leaf_new = jnp.zeros(N, jnp.int32)
-
-    li = jnp.where(left_is_leaf, -1, gamma)       # internal left children
-    ri = jnp.where(right_is_leaf, -1, gamma + 1)  # internal right children
-    int_new = int_new.at[jnp.clip(li, 0, N - 2)].add(
-        jnp.where(li >= 0, pair_base, 0)
-    )
-    int_new = int_new.at[jnp.clip(ri, 0, N - 2)].add(
-        jnp.where(ri >= 0, pair_base + 1, 0)
-    )
-    int_new = int_new.at[0].set(0)  # root
-
-    lj = jnp.where(left_is_leaf, gamma, -1)
-    rj = jnp.where(right_is_leaf, gamma + 1, -1)
-    leaf_new = leaf_new.at[jnp.clip(lj, 0, N - 1)].add(
-        jnp.where(lj >= 0, pair_base, 0)
-    )
-    leaf_new = leaf_new.at[jnp.clip(rj, 0, N - 1)].add(
-        jnp.where(rj >= 0, pair_base + 1, 0)
-    )
-
-    # emit node arrays
-    node_min = jnp.full((cap, 3), 1e30, jnp.float32)
-    node_max = jnp.full((cap, 3), -1e30, jnp.float32)
-    left_first = jnp.zeros(cap, jnp.int32)
-    count = jnp.zeros(cap, jnp.int32)
-
-    # leaves: one prim each, prim slot = position in sorted order
-    leaf_slots = leaf_new
+    # ---- internal-node AABBs: range min/max over sorted leaf boxes ------
+    # Internal node i covers the CONTIGUOUS sorted-leaf range
+    # [min(i,j), max(i,j)] (Karras §4), so its AABB is a range reduction —
+    # computed scatter-free with a doubling (sparse-table) sweep: at level
+    # k the running table T holds window-2^k mins; nodes whose range
+    # length has floor(log2) == k read their two overlapping windows at
+    # that level. O(N log N) gathers/selects, NO scatters (the round-2
+    # implementation's 64 full-array scatter passes were ~344 ms on
+    # device; TPU scatters serialize).
     sorted_fmin = fmin[order]
     sorted_fmax = fmax[order]
-    node_min = node_min.at[leaf_slots].set(sorted_fmin)
-    node_max = node_max.at[leaf_slots].set(sorted_fmax)
-    left_first = left_first.at[leaf_slots].set(jnp.arange(N, dtype=jnp.int32))
-    count = count.at[leaf_slots].set(1)
+    rlo = jnp.minimum(idx, j)
+    rhi = jnp.maximum(idx, j)
+    rlen = rhi - rlo + 1                                  # >= 2
+    klev = _bit_length_u32(rlen.astype(jnp.uint32)) - 1   # floor(log2)
+    K = max(1, int(np.ceil(np.log2(max(N, 2)))) + 1)
 
-    # internal nodes: children at pair_base (left) / pair_base+1 (right)
-    int_slots = int_new
-    left_first = left_first.at[int_slots].set(pair_base)
-    count = count.at[int_slots].set(0)
+    amin = jnp.zeros((N - 1, 3), jnp.float32)
+    amax = jnp.zeros((N - 1, 3), jnp.float32)
+    Tmin, Tmax = sorted_fmin, sorted_fmax
+    ar = jnp.arange(N, dtype=jnp.int32)
+    for k in range(K):
+        take = (klev == k)[:, None]
+        b_ix = rhi - (1 << k) + 1
+        amin = jnp.where(
+            take, jnp.minimum(Tmin[rlo], Tmin[b_ix]), amin)
+        amax = jnp.where(
+            take, jnp.maximum(Tmax[rlo], Tmax[b_ix]), amax)
+        if (1 << (k + 1)) <= N:
+            nxt = jnp.minimum(ar + (1 << k), N - 1)
+            Tmin = jnp.minimum(Tmin, Tmin[nxt])
+            Tmax = jnp.maximum(Tmax, Tmax[nxt])
 
-    # bottom-up AABB propagation: repeat "parent = union(children)" passes
-    def prop(_, mnmx):
-        mn, mx = mnmx
-        l = pair_base
-        pm = jnp.minimum(mn[l], mn[l + 1])
-        px = jnp.maximum(mx[l], mx[l + 1])
-        mn = mn.at[int_slots].set(pm)
-        mx = mx.at[int_slots].set(px)
-        return mn, mx
+    # ---- slot assembly: pure gathers ------------------------------------
+    # BVH2 convention (right child = left child + 1): internal node i's
+    # children occupy slots (2 + 2i, 3 + 2i); root (internal 0) at slot 0,
+    # slot 1 reserved. Slot s >= 2 therefore holds the child of internal
+    # node p = (s-2)>>1 on side (s-2)&1 — every slot's content is a GATHER
+    # from its parent's split, no scatter needed.
+    cap = 2 * N + 2
+    sl = jnp.arange(cap, dtype=jnp.int32)
+    p = jnp.clip((sl - 2) >> 1, 0, N - 2)
+    side = (sl - 2) & 1
+    child = gamma[p] + side                   # leaf position OR internal id
+    is_leaf_child = jnp.where(side == 0, left_is_leaf[p], right_is_leaf[p])
+    live = (sl >= 2) & (sl - 2 < 2 * (N - 1))
 
-    node_min, node_max = lax.fori_loop(
-        0, _MAX_DEPTH_PASSES, prop, (node_min, node_max)
-    )
+    cl = jnp.clip(child, 0, N - 1)
+    ci = jnp.clip(child, 0, N - 2)
+    node_min = jnp.where(
+        (live & is_leaf_child)[:, None], sorted_fmin[cl],
+        jnp.where(live[:, None], amin[ci], 1e30))
+    node_max = jnp.where(
+        (live & is_leaf_child)[:, None], sorted_fmax[cl],
+        jnp.where(live[:, None], amax[ci], -1e30))
+    left_first = jnp.where(live & is_leaf_child, cl,
+                           jnp.where(live, 2 + 2 * ci, 0))
+    count = jnp.where(live & is_leaf_child, 1, 0).astype(jnp.int32)
+
+    # root = internal node 0
+    node_min = node_min.at[0].set(amin[0])
+    node_max = node_max.at[0].set(amax[0])
+    left_first = left_first.at[0].set(2)
+    count = count.at[0].set(0)
 
     return BVH2(
         node_min=node_min,

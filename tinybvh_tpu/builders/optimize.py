@@ -302,7 +302,9 @@ def _clip_polys(V, n, ax, bound, keep_ge):
     b_in &= live
     cross = live & (a_in != b_in)
     den = bv - av
-    tt = np.where(np.abs(den) > 1e-20, (bound[:, None] - av) / den, 0.0)
+    den_ok = np.abs(den) > 1e-20
+    tt = np.where(den_ok, (bound[:, None] - av) / np.where(den_ok, den, 1.0),
+                  0.0)
     tt = np.clip(tt, 0.0, 1.0)
     inter = a + tt[:, :, None] * (b - a)
     # each edge emits: [a if a_in] then [inter if crossing]

@@ -23,6 +23,12 @@ class Config:
     max_leaf: int = 4
     sbvh_slack: float = 0.5        # spatial-split fragment pool headroom
     # traversal
+    # leaf triangle test for the lockstep/wavefront engines: "mt",
+    # "watertight" (Woop — shared edges never leak) or "baldwin"
+    # (Baldwin–Weber precomputed rows). ≙ WATERTIGHT_TRITEST
+    # (tiny_bvh.h:131, 8486-8507). packet2 keeps its MXU triple-product
+    # MT formulation regardless (the dense-matmul design is the engine).
+    tri_test: str = "mt"
     stack_depth: int = 128         # ≥ the builders' max depth
     wavefront_cap: int = 3         # frontier = cap * R pairs
     packet_k: int = 256            # packet leaf-list capacity

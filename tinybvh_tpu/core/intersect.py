@@ -92,27 +92,57 @@ def moller_trumbore_watertight(o, d, rd, v0, v1, v2, t_cur):
     Sz = comp(rd, kz)
     Sx = comp(d, kx) * Sz
     Sy = comp(d, ky) * Sz
-    # reference naming: C = v0 - O, A = v1 - O, B = v2 - O
-    C, A, B = v0 - o, v1 - o, v2 - o
-    Ax = comp(A, kx) - Sx * comp(A, kz)
-    Ay = comp(A, ky) - Sy * comp(A, kz)
-    Bx = comp(B, kx) - Sx * comp(B, kz)
-    By = comp(B, ky) - Sy * comp(B, kz)
-    Cx = comp(C, kx) - Sx * comp(C, kz)
-    Cy = comp(C, ky) - Sy * comp(C, kz)
-    U = Cx * By - Cy * Bx
-    V = Ax * Cy - Ay * Cx
-    W = Bx * Ay - By * Ax
-    same_sign = ((U >= 0) & (V >= 0) & (W >= 0)) | (
-        (U <= 0) & (V <= 0) & (W <= 0))
+    # reference naming: C = v0 - O, A = v1 - O, B = v2 - O.
+    # The watertight guarantee needs (a) IDENTICAL input points to yield
+    # bit-identical shear coordinates — so all three points go through ONE
+    # stacked op (elementwise uniformity inside a single HLO op; three
+    # structurally-separate subtractions may be FMA-contracted
+    # differently) — and (b) the shared-edge functions of adjacent
+    # triangles to be EXACT negations: round(a*b) - round(c*d) vs
+    # round(c*d) - round(a*b). The optimization barrier pins each product
+    # to one rounding (XLA's fma(a, b, -round(c*d)) contraction would
+    # break the antisymmetry and let edge rays slip between triangles).
+    P = jnp.stack([v0 - o, v1 - o, v2 - o], axis=-2)     # (..., 3pt, 3xyz)
+    k1 = jnp.broadcast_to(kz[..., None, None], P.shape[:-1] + (1,))
+    Pz = jnp.take_along_axis(P, k1, axis=-1)[..., 0]     # (..., 3pt)
+    kx1 = jnp.broadcast_to(kx[..., None, None], P.shape[:-1] + (1,))
+    ky1 = jnp.broadcast_to(ky[..., None, None], P.shape[:-1] + (1,))
+    Px = (jnp.take_along_axis(P, kx1, axis=-1)[..., 0]
+          - Sx[..., None] * Pz)                          # (..., 3pt)
+    Py = (jnp.take_along_axis(P, ky1, axis=-1)[..., 0]
+          - Sy[..., None] * Pz)
+    Cx, Ax, Bx = Px[..., 0], Px[..., 1], Px[..., 2]
+    Cy, Ay, By = Py[..., 0], Py[..., 1], Py[..., 2]
+    pUa, pUb, pVa, pVb, pWa, pWb = lax.optimization_barrier(
+        (Cx * By, Cy * Bx, Ax * Cy, Ay * Cx, Bx * Ay, By * Ax))
+    U = pUa - pUb
+    V = pVa - pVb
+    W = pWa - pWb
+    # XLA freely FMA-contracts per ELEMENT (fusion scalarization), so two
+    # triangles sharing an edge can see edge functions that are not exact
+    # negations, and a degenerate triangle's functions need not be exact
+    # zeros — pure-IEEE sign reasoning (the paper's, and the reference's
+    # scalar build) does not survive the compiler. Robust variant: an
+    # edge value within contraction-noise of zero (few ulps of its
+    # products) counts as ON the edge — both neighbors hit, watertight by
+    # over-coverage — and det must clear the summed noise floor, which
+    # rejects degenerate (zero/point/collinear) triangles whose functions
+    # are pure noise.
+    _EPS = 4.0 * 2.0 ** -24
+    tU = _EPS * (jnp.abs(pUa) + jnp.abs(pUb))
+    tV = _EPS * (jnp.abs(pVa) + jnp.abs(pVb))
+    tW = _EPS * (jnp.abs(pWa) + jnp.abs(pWb))
+    same_sign = (((U >= -tU) & (V >= -tV) & (W >= -tW))
+                 | ((U <= tU) & (V <= tV) & (W <= tW)))
     det = U + V + W
+    det_ok = jnp.abs(det) > tU + tV + tW
     inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
-    T = (U * Sz * comp(A, kz) + V * Sz * comp(B, kz)
-         + W * Sz * comp(C, kz))
+    T = (U * Sz * Pz[..., 1] + V * Sz * Pz[..., 2]
+         + W * Sz * Pz[..., 0])
     t = T * inv_det
     u = U * inv_det
     v = V * inv_det
-    hit = same_sign & (det != 0.0) & (t >= 0.0) & (t < t_cur)
+    hit = same_sign & det_ok & (t >= 0.0) & (t < t_cur)
     return hit, jnp.where(hit, t, BVH_FAR), u, v
 
 
@@ -166,6 +196,31 @@ def intersect_baldwin_weber(o, d, T, t_cur):
     hit = (ok & (t > 0.0) & (t < t_cur)
            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
     return hit, jnp.where(hit, t, BVH_FAR), u, v
+
+
+TRI_TESTS = ("mt", "watertight", "baldwin")
+
+
+def leaf_intersect(tri_test, o, d, rd, v0, v1, v2, t_cur, bw_rows=None):
+    """Dispatch the engines' leaf triangle test on Config.tri_test — the
+    runtime analogue of the reference's WATERTIGHT_TRITEST compile switch
+    (flag tiny_bvh.h:131, consumed at tiny_bvh.h:8486-8507).
+
+    All args batched. v0/v1/v2 must be the RAW shared vertices — the
+    watertight guarantee relies on adjacent triangles seeing bit-identical
+    edge endpoints, so reconstructing v1 = v0 + e1 in f32 would leak edge
+    rays. bw_rows: (..., 12) precomputed Baldwin–Weber rows (required iff
+    tri_test == "baldwin"; precompute once per trace with
+    precompute_baldwin_weber). Returns (hit, t, u, v)."""
+    if tri_test == "mt":
+        return moller_trumbore(o, d, v0, v1 - v0, v2 - v0, t_cur)
+    if tri_test == "watertight":
+        return moller_trumbore_watertight(o, d, rd, v0, v1, v2, t_cur)
+    if tri_test == "baldwin":
+        assert bw_rows is not None, "baldwin needs precomputed rows"
+        return intersect_baldwin_weber(o, d, bw_rows, t_cur)
+    raise ValueError(
+        f"tri_test must be one of {TRI_TESTS}, got {tri_test!r}")
 
 
 def tri_edges(tri):

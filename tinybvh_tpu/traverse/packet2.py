@@ -724,7 +724,7 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=(
             jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),

@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
+from tinybvh_tpu.core.intersect import (
+    leaf_intersect, moller_trumbore, precompute_baldwin_weber, tri_edges,
+)
 from tinybvh_tpu.core.rays import Hits, Rays, no_hits
 from tinybvh_tpu.core.vecmath import BVH_FAR
 
@@ -42,23 +44,40 @@ def pack_tris(bvh, tris):
     return jnp.asarray(tris, jnp.float32)[bvh.prim_idx]
 
 
-@partial(jax.jit, static_argnames=("leaf_max", "with_cost"))
 def intersect_bvh2(
     bvh, packed_tris, rays: Rays, t_max=BVH_FAR, leaf_max: int = 16,
-    with_cost: bool = False,
+    with_cost: bool = False, tri_test: str | None = None,
 ):
     """Closest-hit traversal. Returns Hits (and per-ray cost if requested).
 
     packed_tris must come from pack_tris(bvh, tris). leaf_max is a static
     upper bound on leaf primitive count. The optional cost channel mirrors
     the reference's traversal-cost instrumentation (tiny_bvh.h:3251-3303):
-    c_trav per visited node + c_int per triangle test.
+    c_trav per visited node + c_int per triangle test. tri_test selects
+    the leaf triangle test (None → Config.tri_test), ≙ WATERTIGHT_TRITEST
+    (tiny_bvh.h:131, 8486-8507).
     """
+    if tri_test is None:
+        from tinybvh_tpu.config import get_config
+
+        tri_test = get_config().tri_test
+    return _intersect_bvh2(bvh, packed_tris, rays, t_max,
+                           leaf_max=leaf_max, with_cost=with_cost,
+                           tri_test=tri_test)
+
+
+@partial(jax.jit, static_argnames=("leaf_max", "with_cost", "tri_test"))
+def _intersect_bvh2(
+    bvh, packed_tris, rays: Rays, t_max=BVH_FAR, leaf_max: int = 16,
+    with_cost: bool = False, tri_test: str = "mt",
+):
     o, d, rd = rays.o, rays.d, rays.rd
     R = o.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
 
     v0all, e1all, e2all = tri_edges(packed_tris)
+    bw_all = (precompute_baldwin_weber(packed_tris)
+              if tri_test == "baldwin" else None)
 
     state = dict(
         cur=jnp.zeros(R, jnp.int32),
@@ -109,12 +128,19 @@ def intersect_bvh2(
         base = jnp.where(is_leaf, lf, 0)
         idx = base[:, None] + jnp.arange(leaf_max, dtype=jnp.int32)[None, :]
         idx = jnp.clip(idx, 0, v0all.shape[0] - 1)
-        v0 = v0all[idx]
-        e1 = e1all[idx]
-        e2 = e2all[idx]
-        hit, th, uh, vh = moller_trumbore(
-            o[:, None, :], d[:, None, :], v0, e1, e2, t[:, None]
-        )
+        if tri_test == "mt":
+            hit, th, uh, vh = moller_trumbore(
+                o[:, None, :], d[:, None, :],
+                v0all[idx], e1all[idx], e2all[idx], t[:, None])
+        else:
+            # raw vertices (NOT v0+e1: watertightness needs bit-identical
+            # shared edge endpoints)
+            tri = packed_tris[idx]
+            hit, th, uh, vh = leaf_intersect(
+                tri_test, o[:, None, :], d[:, None, :], rd[:, None, :],
+                tri[..., 0, :], tri[..., 1, :], tri[..., 2, :], t[:, None],
+                bw_rows=None if bw_all is None else bw_all[idx],
+            )
         lane_ok = jnp.arange(leaf_max)[None, :] < ct[:, None]
         th = jnp.where(hit & lane_ok & is_leaf[:, None], th, BVH_FAR)
         best = jnp.argmin(th, axis=1)
@@ -172,17 +198,30 @@ def intersect_bvh2(
     return hits
 
 
-@partial(jax.jit, static_argnames=("leaf_max",))
-def is_occluded_bvh2(bvh, packed_tris, rays: Rays, t_max, leaf_max: int = 16):
+def is_occluded_bvh2(bvh, packed_tris, rays: Rays, t_max, leaf_max: int = 16,
+                     tri_test: str | None = None):
     """Any-hit traversal: True where geometry lies within (0, t_max).
 
     Mirrors BVH::IsOccluded (tiny_bvh.h:3382-3453): no ordering, early exit
-    per ray on first hit.
+    per ray on first hit. tri_test as in intersect_bvh2.
     """
+    if tri_test is None:
+        from tinybvh_tpu.config import get_config
+
+        tri_test = get_config().tri_test
+    return _is_occluded_bvh2(bvh, packed_tris, rays, t_max,
+                             leaf_max=leaf_max, tri_test=tri_test)
+
+
+@partial(jax.jit, static_argnames=("leaf_max", "tri_test"))
+def _is_occluded_bvh2(bvh, packed_tris, rays: Rays, t_max,
+                      leaf_max: int = 16, tri_test: str = "mt"):
     o, d, rd = rays.o, rays.d, rays.rd
     R = o.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     v0all, e1all, e2all = tri_edges(packed_tris)
+    bw_all = (precompute_baldwin_weber(packed_tris)
+              if tri_test == "baldwin" else None)
 
     state = dict(
         cur=jnp.zeros(R, jnp.int32),
@@ -219,10 +258,17 @@ def is_occluded_bvh2(bvh, packed_tris, rays: Rays, t_max, leaf_max: int = 16):
         base = jnp.where(is_leaf, lf, 0)
         idx = base[:, None] + jnp.arange(leaf_max, dtype=jnp.int32)[None, :]
         idx = jnp.clip(idx, 0, v0all.shape[0] - 1)
-        hit, _, _, _ = moller_trumbore(
-            o[:, None, :], d[:, None, :], v0all[idx], e1all[idx], e2all[idx],
-            t0[:, None],
-        )
+        if tri_test == "mt":
+            hit, _, _, _ = moller_trumbore(
+                o[:, None, :], d[:, None, :],
+                v0all[idx], e1all[idx], e2all[idx], t0[:, None])
+        else:
+            tri = packed_tris[idx]
+            hit, _, _, _ = leaf_intersect(
+                tri_test, o[:, None, :], d[:, None, :], rd[:, None, :],
+                tri[..., 0, :], tri[..., 1, :], tri[..., 2, :], t0[:, None],
+                bw_rows=None if bw_all is None else bw_all[idx],
+            )
         lane_ok = jnp.arange(leaf_max)[None, :] < ct[:, None]
         new_occ = occ | (is_leaf & jnp.any(hit & lane_ok, axis=1))
         done = done | new_occ

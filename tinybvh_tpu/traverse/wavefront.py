@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
+from tinybvh_tpu.core.intersect import (
+    leaf_intersect, moller_trumbore, precompute_baldwin_weber, tri_edges,
+)
 from tinybvh_tpu.core.rays import Hits, Rays
 from tinybvh_tpu.core.vecmath import BVH_FAR
 from tinybvh_tpu.layouts.mbvh import BVH8, EMPTY_SLOT
@@ -70,10 +72,9 @@ def _t_key(t):
     return lax.bitcast_convert_type(t, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cap_factor", "any_hit"))
 def intersect_wavefront(
     bvh8: BVH8, rays: Rays, t_max=BVH_FAR, cap_factor: int = 3,
-    any_hit: bool = False, omap=None,
+    any_hit: bool = False, omap=None, tri_test: str | None = None,
 ):
     """Closest-hit (or any-hit) wavefront traversal.
 
@@ -85,7 +86,24 @@ def intersect_wavefront(
     barycentric cell is transparent is discarded (≙ the reference's
     in-traversal omap test, tiny_bvh.h:8514-8522 — consulted in its fast
     engines too, which this wavefront is the analog of).
+
+    tri_test selects the leaf triangle test (None → Config.tri_test),
+    ≙ WATERTIGHT_TRITEST (tiny_bvh.h:131, 8486-8507).
     """
+    if tri_test is None:
+        from tinybvh_tpu.config import get_config
+
+        tri_test = get_config().tri_test
+    return _intersect_wavefront(bvh8, rays, t_max, cap_factor=cap_factor,
+                                any_hit=any_hit, omap=omap,
+                                tri_test=tri_test)
+
+
+@partial(jax.jit, static_argnames=("cap_factor", "any_hit", "tri_test"))
+def _intersect_wavefront(
+    bvh8: BVH8, rays: Rays, t_max=BVH_FAR, cap_factor: int = 3,
+    any_hit: bool = False, omap=None, tri_test: str = "mt",
+):
     from tinybvh_tpu.layouts.cwbvh import BVH8Q, dequantize_bounds
 
     o_all, d_all, rd_all = rays.o, rays.d, rays.rd
@@ -97,10 +115,25 @@ def intersect_wavefront(
         get_bounds = lambda rows: bvh8.bounds[rows]
     v0t, e1t, e2t = tri_edges(bvh8.leaf_tris)  # (L, 4, 3)
     # fuse the leaf geometry into one wide row: [v0|e1|e2] x 4 lanes → 36,
-    # padded to 48 floats — narrow-row gathers are ~5x slower on TPU
-    leaf_geom = jnp.concatenate(
-        [v0t.reshape(-1, 12), e1t.reshape(-1, 12), e2t.reshape(-1, 12),
-         jnp.zeros((v0t.shape[0], 12), jnp.float32)], axis=1)  # (L, 48)
+    # padded to 48 floats — narrow-row gathers are ~5x slower on TPU.
+    # Baldwin–Weber rows are exactly 4 lanes x 12 = 48 floats, so they
+    # ride the SAME fused-gather slot when tri_test == "baldwin".
+    L4 = v0t.shape[0]
+    bw_t = None
+    if tri_test == "baldwin":
+        bw_t = precompute_baldwin_weber(
+            bvh8.leaf_tris.reshape(-1, 3, 3)).reshape(L4, 4, 12)
+        leaf_geom = bw_t.reshape(L4, 48)
+    elif tri_test == "watertight":
+        # RAW vertices [v0|v1|v2]: watertightness needs bit-identical
+        # shared edge endpoints (v0+e1 reconstruction would leak)
+        leaf_geom = jnp.concatenate(
+            [bvh8.leaf_tris.reshape(L4, 36),
+             jnp.zeros((L4, 12), jnp.float32)], axis=1)
+    else:
+        leaf_geom = jnp.concatenate(
+            [v0t.reshape(-1, 12), e1t.reshape(-1, 12), e2t.reshape(-1, 12),
+             jnp.zeros((L4, 12), jnp.float32)], axis=1)  # (L, 48)
     # one fused per-pair ray-data gather: [o | d | rd | pad] → (R, 16)
     ray_data = jnp.concatenate(
         [o_all, d_all, rd_all, jnp.zeros((o_all.shape[0], 7), jnp.float32)],
@@ -153,13 +186,22 @@ def intersect_wavefront(
         # ---- leaf pairs: 4-wide Möller–Trumbore -------------------------
         lrow = jnp.where(is_leaf, -pc - 1, 0)
         geom = leaf_geom[lrow]  # one wide gather
-        gv0 = geom[:, 0:12].reshape(-1, 4, 3)
-        ge1 = geom[:, 12:24].reshape(-1, 4, 3)
-        ge2 = geom[:, 24:36].reshape(-1, 4, 3)
-        hit, th, uu, vv = moller_trumbore(
-            o[:, None, :], d[:, None, :], gv0, ge1, ge2,
-            tb[:, None],
-        )
+        if tri_test == "baldwin":
+            hit, th, uu, vv = leaf_intersect(
+                tri_test, o[:, None, :], d[:, None, :], rd[:, None, :],
+                None, None, None, tb[:, None],
+                bw_rows=geom[:, 0:48].reshape(-1, 4, 12))
+        elif tri_test == "watertight":
+            tri4 = geom[:, 0:36].reshape(-1, 4, 3, 3)
+            hit, th, uu, vv = leaf_intersect(
+                tri_test, o[:, None, :], d[:, None, :], rd[:, None, :],
+                tri4[:, :, 0], tri4[:, :, 1], tri4[:, :, 2], tb[:, None])
+        else:
+            gv0 = geom[:, 0:12].reshape(-1, 4, 3)
+            ge1 = geom[:, 12:24].reshape(-1, 4, 3)
+            ge2 = geom[:, 24:36].reshape(-1, 4, 3)
+            hit, th, uu, vv = moller_trumbore(
+                o[:, None, :], d[:, None, :], gv0, ge1, ge2, tb[:, None])
         if omap is not None:
             S = omap.shape[-1]
             iu = jnp.clip((uu * S).astype(jnp.int32), 0, S - 1)
@@ -232,10 +274,14 @@ def intersect_wavefront(
     wl = jnp.where(ok, win >> 2, 0)  # leaf row
     wk = jnp.where(ok, win & 3, 0)  # lane
     prim = jnp.where(ok, bvh8.leaf_prim[wl, wk], -1)
-    # one final Möller–Trumbore against the winning triangle for u/v
-    _, tt, uu, vv = moller_trumbore(
-        o_all, d_all, v0t[wl, wk], e1t[wl, wk], e2t[wl, wk],
+    # one final leaf test against the winning triangle for u/v (same
+    # tri_test as the traversal so barycentric conventions agree)
+    wtri = bvh8.leaf_tris[wl, wk]                     # (R, 3, 3) raw verts
+    _, tt, uu, vv = leaf_intersect(
+        tri_test, o_all, d_all, rd_all,
+        wtri[:, 0], wtri[:, 1], wtri[:, 2],
         jnp.full(R, BVH_FAR, jnp.float32),
+        bw_rows=None if bw_t is None else bw_t[wl, wk],
     )
     t_fin = lax.bitcast_convert_type(s["tkey"], jnp.float32)
     hits = Hits(
