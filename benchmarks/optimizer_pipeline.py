@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--passes", type=int, default=6)
     ap.add_argument("--out", default="/tmp/optimizer_results.csv")
     ap.add_argument("--skip-epo", action="store_true")
+    ap.add_argument("--builder", default="binned", choices=["binned", "lbvh"],
+                    help="lbvh: optimize the low-quality LBVH tree — the "
+                    "tree class reinsertion exists for (the reference "
+                    "optimizer targets bad trees, "
+                    "tiny_bvh_optimizer.cpp:47-149)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -68,27 +73,48 @@ def main():
     rows = []
 
     # ---- stage 1: bin-count sweep scored by RRS cost ---------------------
-    print("\n[stage 1] bin-count sweep")
     best = None
     rrs = None
-    for bins in (int(b) for b in args.bins.split(",")):
+    if args.builder == "lbvh":
+        # one Morton/radix tree, no sweep: THIS is the tree class the
+        # optimizer exists for (fast build, poor SAH)
+        print("\n[stage 1] LBVH build (no sweep)")
+        from tinybvh_tpu.builders.lbvh import build_lbvh
+
+        import jax
+
         t0 = time.perf_counter()
-        bvh = build_binned(tris, bins=bins, max_leaf=8)
+        bvh = jax.tree.map(np.asarray, build_lbvh(tris_j))
         dt = time.perf_counter() - t0
         lm = int(np.asarray(bvh.count).max())
         packed = pack_tris(bvh, tris_j)
-        if rrs is None:  # one RRS for the whole pipeline, like the ref
-            rrs = generate_rrs(tris, bvh, packed, lm)
-        c = rrs_cost(bvh, packed, lm, *rrs)
+        rrs = generate_rrs(tris, bvh, packed, lm)
+        c0 = rrs_cost(bvh, packed, lm, *rrs)
         s = float(sah_cost(bvh))
-        print(f"  bins={bins:3d}  SAH {s:8.2f}  RRS cost {c:8.2f}  "
+        print(f"  lbvh      SAH {s:8.2f}  RRS cost {c0:8.2f}  "
               f"build {dt*1e3:7.1f} ms")
-        rows.append(("sweep", bins, s, c, ""))
-        if best is None or c < best[1]:
-            best = (bins, c, bvh, packed, lm)
+        rows.append(("lbvh", 0, s, c0, ""))
+        bins = 0
+    else:
+        print("\n[stage 1] bin-count sweep")
+        for bins in (int(b) for b in args.bins.split(",")):
+            t0 = time.perf_counter()
+            bvh = build_binned(tris, bins=bins, max_leaf=8)
+            dt = time.perf_counter() - t0
+            lm = int(np.asarray(bvh.count).max())
+            packed = pack_tris(bvh, tris_j)
+            if rrs is None:  # one RRS for the whole pipeline, like the ref
+                rrs = generate_rrs(tris, bvh, packed, lm)
+            c = rrs_cost(bvh, packed, lm, *rrs)
+            s = float(sah_cost(bvh))
+            print(f"  bins={bins:3d}  SAH {s:8.2f}  RRS cost {c:8.2f}  "
+                  f"build {dt*1e3:7.1f} ms")
+            rows.append(("sweep", bins, s, c, ""))
+            if best is None or c < best[1]:
+                best = (bins, c, bvh, packed, lm)
 
-    bins, c0, bvh, packed, lm = best
-    print(f"  -> winner: bins={bins} (RRS cost {c0:.2f})")
+        bins, c0, bvh, packed, lm = best
+        print(f"  -> winner: bins={bins} (RRS cost {c0:.2f})")
 
     # ---- stage 2: reinsertion optimization + damage verification ---------
     print(f"\n[stage 2] reinsertion ({args.passes} passes)")

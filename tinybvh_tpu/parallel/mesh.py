@@ -111,6 +111,133 @@ def trace_sharded(mesh: Mesh, bvh_stack, packed_stack, gid_stack, rays: Rays,
              rays.mask)
 
 
+def trace_packets_dp(mesh: Mesh, bvh8, aux, rays: Rays, t_max=BVH_FAR,
+                     max_leaves: int = 256, interpret: bool = False,
+                     max_blocks: int = 128) -> Hits:
+    """Data-parallel trace with the FLAGSHIP packet2 engine inside
+    shard_map: BVH8 + packet tables replicated, tile-ordered rays sharded
+    over 'rays' (each shard's ray count must be a multiple of 256), each
+    device runs the full dense-cull + fused-MT pipeline incl. its in-call
+    wavefront retrace of overflowed tiles — so the combined result is
+    exact. ≙ the reference's fastest-layout-under-threads pattern
+    (tiny_bvh_anim.cpp:194-205 tile threads call BVH8_CPU::Intersect);
+    zero communication (pure DP — image assembly happens where the
+    caller gathers)."""
+    from tinybvh_tpu.traverse.packet2 import intersect_packets2
+
+    def local(bvh8, aux, o, d, rd, mask):
+        r = Rays(o=o, d=d, rd=rd, mask=mask)
+        h, _ = intersect_packets2(
+            bvh8, aux, r, max_leaves=max_leaves, t_max=t_max,
+            interpret=interpret, retrace=True, max_blocks=max_blocks)
+        return h
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), bvh8),
+            jax.tree.map(lambda _: P(), aux),
+            P("rays"), P("rays"), P("rays"), P("rays"),
+        ),
+        out_specs=jax.tree.map(lambda _: P("rays"), Hits(0, 0, 0, 0, 0)),
+        check_vma=False,
+    )
+    return f(bvh8, aux, rays.o, rays.d, rays.rd, rays.mask)
+
+
+def shard_scene_packets(tris, n_shards: int, max_leaf: int = 4):
+    """Geometry sharding for the packet2 engine: split the soup into n
+    interleaved subsets, build a BVH8 + packet tables per subset, pad all
+    shards to common shapes (empty nodes/leaf rows are inert: EMPTY_SLOT
+    children, +/-FAR leaf boxes that always cull), and stack into pytrees
+    with a leading 'scene' axis. Returns (bvh8_stack, aux_stack,
+    gid_stack)."""
+    from tinybvh_tpu.builders.binned import build_binned
+    from tinybvh_tpu.layouts.mbvh import EMPTY_SLOT, collapse_bvh2
+    from tinybvh_tpu.traverse.packet2 import build_packet_aux
+
+    tris = np.asarray(tris, np.float32)
+    n = tris.shape[0]
+    per = -(-n // n_shards)
+    pad = per * n_shards - n
+    tris_p = np.concatenate([tris, np.zeros((pad, 3, 3), np.float32)], axis=0)
+    shards = np.arange(per * n_shards).reshape(n_shards, per)
+    b8s, gids = [], []
+    for s in range(n_shards):
+        sub = tris_p[shards[s]]
+        b2 = build_binned(sub, max_leaf=max_leaf)
+        b8s.append(collapse_bvh2(b2, jnp.asarray(sub)))
+        gids.append(jnp.asarray(shards[s], jnp.int32))
+    n_nodes = max(b.n_nodes for b in b8s)
+    n_leaves = max(b.n_leaves for b in b8s)
+    # round leaf rows up to the packet2 block size so every shard's aux
+    # tables tile identically
+    n_leaves = -(-n_leaves // 128) * 128
+
+    def pad_b8(b):
+        pn = n_nodes - b.n_nodes
+        pl = n_leaves - b.n_leaves
+        empty = np.full((pn, 48), BVH_FAR, np.float32)
+        empty.reshape(pn, 6, 8)[:, 3:] = -BVH_FAR
+        return b.replace(
+            bounds=jnp.concatenate([b.bounds, jnp.asarray(empty)], axis=0),
+            child=jnp.concatenate(
+                [b.child, jnp.full((pn, 8), EMPTY_SLOT, jnp.int32)], axis=0),
+            leaf_tris=jnp.concatenate(
+                [b.leaf_tris, jnp.zeros((pl, 4, 3, 3), jnp.float32)], axis=0),
+            leaf_prim=jnp.concatenate(
+                [b.leaf_prim, jnp.full((pl, 4), -1, jnp.int32)], axis=0),
+        )
+
+    b8s = [pad_b8(b) for b in b8s]
+    auxes = [build_packet_aux(b) for b in b8s]
+    stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+    return stack(b8s), stack(auxes), jnp.stack(gids)
+
+
+def trace_packets_sharded(mesh: Mesh, bvh8_stack, aux_stack, gid_stack,
+                          rays: Rays, t_max=BVH_FAR, max_leaves: int = 256,
+                          interpret: bool = False,
+                          max_blocks: int = 128) -> Hits:
+    """Two-axis sharded packet2 trace: rays over 'rays', geometry over
+    'scene'. Each device packet-traces its ray block against its triangle
+    subset (exact, retrace included); winners min-combine across 'scene'
+    via all_gather over ICI (≙ SURVEY §2.5 P6 with the fast engine)."""
+    from tinybvh_tpu.traverse.packet2 import intersect_packets2
+
+    def local(bvh8, aux, gids, o, d, rd, mask):
+        bvh1 = jax.tree.map(lambda x: x[0], bvh8)
+        aux1 = jax.tree.map(lambda x: x[0], aux)
+        r = Rays(o=o, d=d, rd=rd, mask=mask)
+        h, _ = intersect_packets2(
+            bvh1, aux1, r, max_leaves=max_leaves, t_max=t_max,
+            interpret=interpret, retrace=True, max_blocks=max_blocks)
+        gprim = jnp.where(h.prim >= 0, gids[0][jnp.maximum(h.prim, 0)], -1)
+        tg = jax.lax.all_gather(h.t, "scene")
+        win = jnp.argmin(tg, axis=0)
+
+        def pick(x):
+            xg = jax.lax.all_gather(x, "scene")
+            return jnp.take_along_axis(xg, win[None, :], axis=0)[0]
+
+        return Hits(t=pick(h.t), u=pick(h.u), v=pick(h.v),
+                    prim=pick(gprim), inst=pick(h.inst))
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P("scene"), bvh8_stack),
+            jax.tree.map(lambda _: P("scene"), aux_stack),
+            P("scene"),
+            P("rays"), P("rays"), P("rays"), P("rays"),
+        ),
+        out_specs=jax.tree.map(lambda _: P("rays"), Hits(0, 0, 0, 0, 0)),
+        check_vma=False,
+    )
+    return f(bvh8_stack, aux_stack, gid_stack, rays.o, rays.d, rays.rd,
+             rays.mask)
+
+
 def render_step_dp(mesh: Mesh, bvh, packed, rays: Rays, light_dir,
                    leaf_max: int = 8):
     """One data-parallel render step: trace + lambert shade + shadow term.

@@ -39,7 +39,7 @@ from tinybvh_tpu.layouts.mbvh import BVH8, EMPTY_SLOT
 # two-level descent pushes at most one node per level per BVH; 130 covers
 # the builder's 128-level depth bound (see traverse/stack.py)
 STACK_DEPTH = 130
-_EMPTY = jnp.int32(-(2**31) + 1)
+_EMPTY = -(2**31) + 1  # plain int (see traverse/wavefront.py _I32MAX note)
 
 
 @struct.dataclass

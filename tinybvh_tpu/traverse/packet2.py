@@ -223,8 +223,8 @@ def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
 
 
 def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
-                 ohi_ref, llo_ref, lhi_ref, keys_ref, cnt_ref, tmp_ref, *,
-                 n_leaves, k_cap, max_blocks):
+                 ohi_ref, tcap_ref, llo_ref, lhi_ref, keys_ref, cnt_ref,
+                 tmp_ref, *, n_leaves, k_cap, max_blocks):
     """K1b: fine tier — walk this group's surviving-block worklist (SMEM,
     cheap scalar reads), frustum-test the 128 leaves of each block, and
     write each block's per-tile survivor keys to a SLOT-ALIGNED scratch
@@ -261,6 +261,12 @@ def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
             gk = jnp.maximum(gk, 0.0)
             g2 = g2 + gk * gk
         lb = jnp.sqrt(g2)
+        # reach cap: a leaf farther than every ray's world-distance bound
+        # (root-box exit x |d|, or the occlusion cutoff) can never be hit
+        # — drop it here so it neither costs MT work nor counts toward
+        # the overflow budget (from-light shadow frusta sweep far past
+        # the receivers without this)
+        passed = passed & (lb < tcap_ref[:, 0:1])
         lbb = lax.bitcast_convert_type(lb, jnp.int32)
         key_all = ((lbb >> _LEAF_BITS) << _LEAF_BITS) | (
             blk * LANES + lanes)
@@ -281,7 +287,7 @@ def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "max_blocks"))
-def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
+def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
                k_cap: int = 256, interpret: bool = False,
                max_blocks: int = 128):
     """Two-level dense frustum cull: per tile the (lb|leaf) keys of every
@@ -298,6 +304,8 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
     thresh: (T, 4) min over the tile's origin box of n.o; olo/ohi: (T, 3)
     origin box. Returns (keys (T, >=k_cap) i32, counts (T,) i32)."""
     T = posn.shape[0]
+    if tcap is None:
+        tcap = jnp.full((T,), BVH_FAR, jnp.float32)
     if T % TB:
         # pad with always-culling tiles (zero planes, positive threshold)
         pad = TB - T % TB
@@ -306,6 +314,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
         thresh = jnp.concatenate([thresh, jnp.ones((pad, 4))], axis=0)
         olo = jnp.concatenate([olo, jnp.zeros((pad, 3))], axis=0)
         ohi = jnp.concatenate([ohi, jnp.zeros((pad, 3))], axis=0)
+        tcap = jnp.concatenate([tcap, jnp.zeros((pad,))], axis=0)
     tp = posn.shape[0]
     G = tp // TB
     lpad = aux.leaf_lo.shape[1]
@@ -368,6 +377,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
         ] + tile_specs + [
             pl.BlockSpec((TB, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, lpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, lpad), lambda i: (0, 0),
@@ -388,7 +398,8 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi,
         scratch_shapes=[
             pltpu.VMEM((TB, max_blocks * LANES), jnp.int32)],
         interpret=interpret,
-    )(nblk_in, wl, posn, negn, thresh, olo, ohi, aux.leaf_lo, aux.leaf_hi)
+    )(nblk_in, wl, posn, negn, thresh, olo, ohi, tcap.reshape(tp, 1),
+      aux.leaf_lo, aux.leaf_hi)
     counts = cnt.reshape(tp)
     counts = jnp.where(jnp.repeat(wl_overflow, TB), k_cap + 1, counts)
     return keys[:T], counts[:T]
@@ -786,7 +797,25 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     thresh = (jnp.einsum("tpk,tk->tp", posn, olo)
               + jnp.einsum("tpk,tk->tp", negn, ohi))
 
-    keys, counts = cull_tiles(aux, posn, negn, thresh, olo, ohi,
+    # per-tile reach cap for the cull: a leaf whose origin-box gap exceeds
+    # every ray's own travel bound can never be hit. The bound is
+    # min(t_max, root-box exit t) in d units x |d| = world distance; for
+    # occlusion segments (t_max = cutoff, unnormalized d) this caps the
+    # frustum at the receiver, for primaries at the scene-box exit.
+    dlen = jnp.linalg.norm(d, axis=-1)                    # (T, 256)
+    tmax_rt = jnp.broadcast_to(
+        jnp.asarray(t_max, jnp.float32), (R,)).reshape(T, TILE)
+    root_lo = aux.blk_lo.min(axis=1)                      # (3,)
+    root_hi = aux.blk_hi.max(axis=1)
+    rdr = rays.rd.reshape(T, TILE, 3)
+    tfar_ax = jnp.maximum((root_lo - o) * rdr, (root_hi - o) * rdr)
+    tfar_ax = jnp.where(jnp.isnan(tfar_ax), BVH_FAR, tfar_ax)
+    t_exit = jnp.maximum(jnp.min(tfar_ax, axis=-1), 0.0)  # (T, 256)
+    reach = jnp.minimum(tmax_rt, t_exit) * dlen
+    tcap = jnp.max(reach, axis=1)                         # (T,)
+    tcap = jnp.where(jnp.isfinite(tcap), tcap * 1.001 + 1e-4, BVH_FAR)
+
+    keys, counts = cull_tiles(aux, posn, negn, thresh, olo, ohi, tcap,
                               k_cap=K, interpret=interpret,
                               max_blocks=max_blocks)
     overflow = counts > K
@@ -831,7 +860,6 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     # block gates in ray-t units: entry distance / max |d| over the tile.
     # Dead blocks gate at +inf so they never pass (t_far itself can reach
     # BVH_FAR when a tile has miss rays)
-    dlen = jnp.linalg.norm(d, axis=-1)
     maxd = jnp.maximum(dlen.max(axis=1), 1e-20)          # (T,)
     blk_live = live.reshape(T, nbk, 32).any(axis=2)
     if sort:

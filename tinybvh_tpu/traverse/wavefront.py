@@ -43,7 +43,9 @@ from tinybvh_tpu.core.vecmath import BVH_FAR
 from tinybvh_tpu.layouts.mbvh import BVH8, EMPTY_SLOT
 
 MAX_LEVELS = 64
-_I32MAX = jnp.int32(2**31 - 1)
+_I32MAX = 2**31 - 1  # plain int: a module-level jnp scalar becomes a
+# mesh-committed device constant on first shard_map use and poisons later
+# traces under a different Mesh
 
 
 def _slab8(o, rd, t, bounds):
