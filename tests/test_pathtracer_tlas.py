@@ -112,3 +112,46 @@ def test_tlas_textured_albedo_scales_radiance():
     assert lit.any()
     np.testing.assert_allclose(rad_grey[lit], 0.5 * rad_white[lit],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tlas_pt_packet_routing_matches_wavefront():
+    """tpacket routing (per-instance packet2 engine) must reproduce the
+    wavefront-routed radiance: same scene, same key, same sampling — only
+    the traversal engine differs, and both are exact."""
+    from tinybvh_tpu.tlas.packet import build_tlas_packet
+
+    tlas, alb, emi, lt, le = _scene()
+    walls_light_blases = None  # rebuilt below from the same geometry
+    # rebuild the same two BLASes the fixture used
+    walls = np.concatenate([
+        _quad([0, 0, 0], [2, 0, 0], [2, 0, 2], [0, 0, 2]),
+        _quad([0, 2, 2], [2, 2, 2], [2, 2, 0], [0, 2, 0]),
+        _quad([0, 0, 2], [2, 0, 2], [2, 2, 2], [0, 2, 2]),
+        _quad([0, 0, 0], [0, 0, 2], [0, 2, 2], [0, 2, 0]),
+        _quad([2, 0, 2], [2, 0, 0], [2, 2, 0], [2, 2, 2]),
+    ])
+    light_g = _quad([0.7, 1.98, 1.3], [1.3, 1.98, 1.3],
+                    [1.3, 1.98, 0.7], [0.7, 1.98, 0.7])
+    eye = np.eye(4, dtype=np.float32)
+    tp = build_tlas_packet([BVH(walls).bvh8, BVH(light_g).bvh8],
+                           [(0, eye), (1, eye)])
+
+    rng = np.random.default_rng(7)
+    n = 256
+    o = np.tile(np.array([[1.0, 1.0, 0.2]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    k = jax.random.PRNGKey(3)
+    rad_wf, _ = trace_paths_tlas(tlas, alb, emi, lt, le, rays, k, bounces=2)
+    rad_pk, _ = trace_paths_tlas(tlas, alb, emi, lt, le, rays, k, bounces=2,
+                                 tpacket=tp)
+    rad_wf = np.asarray(rad_wf)
+    rad_pk = np.asarray(rad_pk)
+    assert np.isfinite(rad_pk).all()
+    # identical sampling; engines may differ in last-ulp hit decisions on
+    # a handful of grazing rays
+    close = np.isclose(rad_pk, rad_wf, rtol=2e-2, atol=2e-3).all(axis=1)
+    assert close.mean() > 0.98, f"only {close.mean():.3f} rays match"
+    np.testing.assert_allclose(rad_pk.mean(), rad_wf.mean(), rtol=2e-2)

@@ -32,7 +32,8 @@ from tinybvh_tpu.tlas.instance import TLAS8, intersect_tlas_wavefront
 def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
                      light_emission, rays: Rays, key, bounces: int = 3,
                      cap_factor: int = 4, leaf_uvs=None, leaf_tex=None,
-                     tex=None, inst_specular=None, analytic=None):
+                     tex=None, inst_specular=None, analytic=None,
+                     tpacket=None):
     """One sample per ray over an instanced scene → ((R, 3) radiance,
     overflow flag). The flag ORs every traversal's frontier overflow —
     True means truncated paths; retry with a larger cap_factor.
@@ -41,6 +42,13 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
     (≙ wavefront2.cl's Shade/Connect). inst_specular: optional (I,) floats,
     instances with specular > 0.5 shade as perfect mirrors.
 
+    tpacket: optional tlas.packet.TLASPacket — routes every traversal
+    through the per-instance packet2 engine (shared-origin primaries
+    direct, bounces/shadow segments via the coherence sort), each with
+    exact in-call wavefront retrace; requires R %% 256 == 0. The TLAS
+    twin of trace_paths' aux routing (≙ wavefront2.cl tracing each
+    instance's BLAS with the fast CWBVH kernel).
+
     Optional texture mapping (≙ the textured materials of the reference's
     full GPU renderer, raytracer.cl): leaf_uvs (L, 4, 3, 2) and leaf_tex
     (L, 4) are merged leaf-aligned tables (tlas.merge_leaf_attrs over
@@ -48,6 +56,33 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
     render.textures.build_atlas dict. The sampled color multiplies the
     instance albedo at the hit's interpolated UV."""
     R = rays.o.shape[0]
+    # textured shading needs the merged-leaf winner index (leaf_uvs rows),
+    # which only the wavefront returns — packets route the untextured path
+    use_packets = (tpacket is not None and R % 256 == 0
+                   and leaf_uvs is None)
+    if use_packets:
+        from tinybvh_tpu.tlas.packet import (
+            intersect_tlas_packets2, intersect_tlas_packets2_sorted,
+            scene_bounds,
+        )
+
+        interp = jax.default_backend() != "tpu"
+        slo, shi = scene_bounds(tpacket)
+
+        def extend_p(cur, bounce):
+            if bounce == 0:
+                h, ov = intersect_tlas_packets2(tpacket, cur,
+                                                interpret=interp)
+                return h, jnp.any(ov)
+            h, ov = intersect_tlas_packets2_sorted(
+                tpacket, cur, slo, shi, interpret=interp)
+            return h, ov.any()
+
+        def occl_seg(oo, seg):
+            h, ov = intersect_tlas_packets2_sorted(
+                tpacket, make_rays(oo, seg), slo, shi, interpret=interp,
+                any_hit=True, t_max_static=1.0 - 1e-3)
+            return (h.prim >= 0) & (h.t < 1.0 - 1e-3), ov.any()
     n_lights = light_tris.shape[0]
     lv0, le1, le2 = tri_edges(light_tris)
     lnv = jnp.cross(le1, le2)
@@ -65,16 +100,22 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
     for _b in range(bounces):
         key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
         cur = Rays(o=o, d=d, rd=rd, mask=rays.mask)
-        hits, win, ovf = intersect_tlas_wavefront(
-            tlas, cur, cap_factor=cap_factor, return_winner=True)
+        if use_packets:
+            hits, ovf = extend_p(cur, _b)
+            inst = jnp.maximum(hits.inst, 0)
+            tri = tpacket.prim_tris[
+                tpacket.prim_off[inst] + jnp.maximum(hits.prim, 0)]
+            wl = jnp.zeros(R, jnp.int32)  # leaf_uvs path needs win (below)
+            wk = jnp.zeros(R, jnp.int32)
+        else:
+            hits, win, ovf = intersect_tlas_wavefront(
+                tlas, cur, cap_factor=cap_factor, return_winner=True)
+            inst = jnp.maximum(hits.inst, 0)
+            wl = jnp.where(win >= 0, win >> 2, 0)
+            wk = jnp.where(win >= 0, win & 3, 0)
+            tri = tlas.leaf_tris[wl, wk]  # BLAS space
         any_overflow = any_overflow | ovf
         hit_ok = alive & (hits.prim >= 0)
-        inst = jnp.maximum(hits.inst, 0)
-
-        # world-space geometric normal of the winning triangle
-        wl = jnp.where(win >= 0, win >> 2, 0)
-        wk = jnp.where(win >= 0, win & 3, 0)
-        tri = tlas.leaf_tris[wl, wk]  # BLAS space
         _, te1, te2 = tri_edges(tri)
         n_l = jnp.cross(te1, te2)
         inv = tlas.inst_inv[jnp.clip(inst, 0, tlas.inst_inv.shape[0] - 1)]
@@ -133,9 +174,13 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
         cos_s = jnp.sum(n * wi, axis=-1)
         cos_l = jnp.abs(jnp.sum(lnv[li] * -wi, axis=-1))
         nee_valid = hit_ok & ~is_spec & (cos_s > 0)
-        srays = make_rays(p + n * 1e-4, wi * dist[:, None])
-        _, occ, ovf_s = intersect_tlas_wavefront(
-            tlas, srays, 1.0 - 1e-3, cap_factor=cap_factor, any_hit=True)
+        if use_packets:
+            occ, ovf_s = occl_seg(p + n * 1e-4, wi * dist[:, None])
+        else:
+            srays = make_rays(p + n * 1e-4, wi * dist[:, None])
+            _, occ, ovf_s = intersect_tlas_wavefront(
+                tlas, srays, 1.0 - 1e-3, cap_factor=cap_factor,
+                any_hit=True)
         any_overflow = any_overflow | ovf_s
         pdf_l = dist2 / jnp.maximum(cos_l * larea[li] * n_lights, 1e-9)
         pdf_b = jnp.maximum(cos_s, 0.0) / jnp.pi
@@ -149,11 +194,14 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
         if analytic is not None:
             from tinybvh_tpu.render.pathtracer import _analytic_nee
 
-            def occl_a(oo, seg):
-                _, occ2, o3 = intersect_tlas_wavefront(
-                    tlas, make_rays(oo, seg), 1.0 - 1e-3,
-                    cap_factor=cap_factor, any_hit=True)
-                return occ2, o3
+            if use_packets:
+                occl_a = occl_seg
+            else:
+                def occl_a(oo, seg):
+                    _, occ2, o3 = intersect_tlas_wavefront(
+                        tlas, make_rays(oo, seg), 1.0 - 1e-3,
+                        cap_factor=cap_factor, any_hit=True)
+                    return occ2, o3
 
             a_add, a_ovf = _analytic_nee(
                 occl_a, analytic, p, n, mat_albedo, throughput,
