@@ -6,9 +6,12 @@ camera primary rays, shadow rays toward a point light, and incoherent
 diffuse bounce rays; report MRays/s. Scenes: the Stanford bunny
 (69,630 tris), a 2x2 bunny grid (278,520 tris) and a 4x4 grid (1.1M
 tris — the >=1M scale point), plus a glTF scene through the full scene
-layer. All traces ride the packet2 pipeline (dense Pallas cull + fused
-DMA/MT kernel) with exact wavefront retrace of overflowed tiles, so
-every number is for an EXACT trace.
+layer, and an 8-instance TLAS scene traced by the per-instance packet
+engine. All traces ride the packet2 pipeline (dense Pallas cull + fused
+DMA/MT kernel). Leaf budgets are sized so no tile overflows its budget
+(the *_overflow_tiles fields attest: 0 = the trace is EXACT); the
+in-call wavefront retrace exists in the library but is excluded here
+because its compiled branch added ~10 min of remote compile per phase.
 
 KILL-SAFE STREAMING: the reference harness prints progressive
 per-section results as it goes (tiny_bvh_speedtest.cpp:592-1250); round
@@ -189,13 +192,16 @@ def bench_scene(tris, name, ref_entry=None,
     jax.block_until_ready((light_dev, lo_dev, hi_dev, key_dev, far_dev,
                            cut_dev))
 
-    # ---- primary rays (exact: overflowed tiles retraced in-call) --------
+    # ---- primary rays ---------------------------------------------------
+    # retrace=False: the in-call wavefront retrace branch alone added
+    # ~10 min of remote compile (r3 rehearsal: warm_primary 686 s wall).
+    # K=512 yields ZERO overflowed tiles on the scenes below (asserted by
+    # the *_overflow_tiles fields — 0 means the trace is exact anyway);
+    # a nonzero count flags the number as approximate.
     def primary():
-        # K=512 covers every scene's per-tile survivor count we bench
-        # (bunny max 354): zero overflowed tiles in the common case, and
-        # ONE k_cap shape shared by all three phases = one cull compile
         return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=512,
-                                  t_max=far_dev, max_blocks=256)
+                                  t_max=far_dev, max_blocks=256,
+                                  retrace=False)
 
     # warm/compile the primary NOW; measurement happens after every
     # phase's compile+puts are done (compiles and H2D transfers issued
@@ -203,7 +209,7 @@ def bench_scene(tris, name, ref_entry=None,
     hits, ovf = primary()
     jax.block_until_ready(hits.t)
     out["hit_rate"] = round(float(np.mean(np.asarray(hits.prim) >= 0)), 4)
-    out["primary_retraced_tiles"] = int(np.asarray(ovf).sum())
+    out["primary_overflow_tiles"] = int(np.asarray(ovf).sum())
     mark("warm_primary")
     _emit(out)
 
@@ -220,8 +226,8 @@ def bench_scene(tris, name, ref_entry=None,
         # worklist keeps most tiles on the fast kernel instead of the
         # wavefront retrace
         return is_occluded_packets2(bvh.bvh8, aux, light_dev, p_dev,
-                                    cutoff=cut_dev,
-                                    max_leaves=512, max_blocks=256)
+                                    cutoff=cut_dev, max_leaves=512,
+                                    max_blocks=256, retrace=False)
 
     # best-effort: an error in one phase must not void the whole bench
     shadow_ready = False
@@ -230,7 +236,7 @@ def bench_scene(tris, name, ref_entry=None,
             p_dev = shadow_points(hits.t)
             occ, sovf = shadow()
             jax.block_until_ready(occ)
-            out["shadow_retraced_tiles"] = int(np.asarray(sovf).sum())
+            out["shadow_overflow_tiles"] = int(np.asarray(sovf).sum())
             shadow_ready = True
             mark("warm_shadow")
     except Exception as e:  # pragma: no cover - device-dependent
@@ -270,11 +276,11 @@ def bench_scene(tris, name, ref_entry=None,
         def diffuse():
             return intersect_packets2_sorted(
                 bvh.bvh8, aux, drays, lo_dev, hi_dev, max_leaves=512,
-                t_max_static=1e30)
+                t_max_static=1e30, retrace=False)
 
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)
-        out["diffuse_retraced_rays"] = int(np.asarray(dov).sum())
+        out["diffuse_overflow_rays"] = int(np.asarray(dov).sum())
         diffuse_ready = True
         mark("warm_diffuse")
     except _SkipPhase:
@@ -358,6 +364,67 @@ def _sub_section(section):
         # behavior and HBM-resident node tables
         out = bench_scene(_bunny_grid(bunny, 4, 4), "bunny_grid16",
                           None, phases=("primary",))
+    elif section == "inst8":
+        # 2x2x2 instance grid of ONE bunny BLAS (≙ tiny_bvh_anim.cpp's
+        # TLAS setup): the per-instance packet engine vs the two-level
+        # wavefront on identical rays — the TLAS fast-path evidence
+        import jax.numpy as jnp
+
+        from tinybvh_tpu.api import BVH
+        from tinybvh_tpu.core.rays import make_rays
+        from tinybvh_tpu.tlas.instance import intersect_tlas_wavefront
+        from tinybvh_tpu.tlas.packet import (
+            build_tlas_packet, intersect_tlas_packets2,
+        )
+
+        blas = BVH(bunny).bvh8
+        ex = bunny.reshape(-1, 3).max(0) - bunny.reshape(-1, 3).min(0)
+        mats = []
+        for i in range(8):
+            m = np.eye(4, dtype=np.float32)
+            m[:3, 3] = ex * 1.15 * np.array(
+                [i & 1, (i >> 1) & 1, i >> 2], np.float32)
+            mats.append(m)
+        t0 = time.perf_counter()
+        tp = build_tlas_packet([blas], np.stack(mats))
+        jax.block_until_ready(tp.tlas.bounds)
+        out = {"n_tris": int(bunny.shape[0]) * 8, "n_instances": 8,
+               "tlas_build_s": round(time.perf_counter() - t0, 3)}
+        wlo = np.asarray(bunny.reshape(-1, 3).min(0))
+        whi = wlo + np.asarray(ex) * (1.15 + 1.0)
+        o, d, _, _ = _camera_rays(wlo, whi, W=512, H=512)
+        rays = make_rays(o, d)
+        far_dev = jnp.asarray(1e30, jnp.float32)
+        jax.block_until_ready(far_dev)
+
+        def packet_trace():
+            return intersect_tlas_packets2(
+                tp, rays, t_max=far_dev, max_leaves=512, max_blocks=256,
+                retrace=False)
+
+        h, ovf = packet_trace()
+        jax.block_until_ready(h.t)
+        out["hit_rate"] = round(float(np.mean(np.asarray(h.prim) >= 0)), 4)
+        out["packet_overflow_tiles"] = int(np.asarray(ovf).sum())
+        _emit(out)
+        t = _amortized(packet_trace, n=4)
+        out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
+        _emit(out)
+
+        def wf_trace():
+            hh, _ = intersect_tlas_wavefront(tp.tlas, rays, far_dev,
+                                             cap_factor=6)
+            return hh
+
+        try:
+            hw = wf_trace()
+            jax.block_until_ready(hw.t)
+            t = _amortized(wf_trace, n=4)
+            out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
+            out["packet_vs_wavefront"] = round(
+                out["tlas_packet_mrays"] / out["tlas_wavefront_mrays"], 2)
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["wavefront_error"] = repr(e)[:160]
     elif section == "drone":
         # glTF scene through the full scene layer (load -> anim/update ->
         # BLAS policies -> TLAS) traced by the two-level wavefront — the
@@ -438,10 +505,12 @@ def main():
     deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", "2400"))
     detail = {}
     me = os.path.abspath(__file__)
-    only = os.environ.get("BENCH_SECTIONS", "bunny,grid4,grid16,drone")
+    only = os.environ.get("BENCH_SECTIONS",
+                          "bunny,grid4,grid16,inst8,drone")
     # (name, max budget s, min remaining s required to even start)
-    plan = [("bunny", 1500, 300), ("grid4", 500, 240),
-            ("grid16", 600, 300), ("drone", 420, 200)]
+    plan = [("bunny", 1500, 300), ("grid4", 420, 240),
+            ("grid16", 500, 300), ("inst8", 500, 280),
+            ("drone", 420, 200)]
     for section, max_budget, min_need in plan:
         if section not in only:
             continue

