@@ -93,7 +93,8 @@ class _SkipPhase(Exception):
 
 
 def bench_scene(tris, name, ref_entry=None,
-                phases=("primary", "shadow", "diffuse")):
+                phases=("primary", "shadow", "diffuse"),
+                max_blocks=256):
     import jax
     import jax.numpy as jnp
 
@@ -200,7 +201,7 @@ def bench_scene(tris, name, ref_entry=None,
     # a nonzero count flags the number as approximate.
     def primary():
         return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=512,
-                                  t_max=far_dev, max_blocks=256,
+                                  t_max=far_dev, max_blocks=max_blocks,
                                   retrace=False)
 
     # warm/compile the primary NOW; measurement happens after every
@@ -227,7 +228,7 @@ def bench_scene(tris, name, ref_entry=None,
         # wavefront retrace
         return is_occluded_packets2(bvh.bvh8, aux, light_dev, p_dev,
                                     cutoff=cut_dev, max_leaves=512,
-                                    max_blocks=256, retrace=False)
+                                    max_blocks=max_blocks, retrace=False)
 
     # best-effort: an error in one phase must not void the whole bench
     shadow_ready = False
@@ -362,8 +363,10 @@ def _sub_section(section):
         # >=1M-tri scale point (≙ the reference's Sponza-class baseline,
         # tiny_bvh_speedtest.cpp:487-495): exposes the dense-cull O(N*T)
         # behavior and HBM-resident node tables
+        # 2176 128-leaf blocks: tiles sweeping several bunnies need a
+        # deeper block worklist than the default
         out = bench_scene(_bunny_grid(bunny, 4, 4), "bunny_grid16",
-                          None, phases=("primary",))
+                          None, phases=("primary",), max_blocks=512)
     elif section == "inst8":
         # 2x2x2 instance grid of ONE bunny BLAS (≙ tiny_bvh_anim.cpp's
         # TLAS setup): the per-instance packet engine vs the two-level

@@ -255,3 +255,40 @@ def test_fused_kernel_dead_keys_within_count(scene):
     # tile 1 (count 0) must be all misses; tile 0 only hits leaf-0 tris
     assert (t[1] >= 1e29).all()
     assert np.isfinite(t).all()
+
+
+def test_cull_leaf_bits_20_same_survivors(scene):
+    """Scenes beyond 2^18 leaf rows use wider leaf-id bits in cull keys
+    (the >=1M-tri scale point); the survivor SET must be identical and
+    the coarser decoded distances must stay lower bounds."""
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=2)
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.traverse.packet import _tile_planes
+    import jax.numpy as jnp
+
+    T = o.shape[0] // 256
+    ot = o.reshape(T, 256, 3)
+    dt = d.reshape(T, 256, 3)
+    olo, ohi = ot.min(axis=1), ot.max(axis=1)
+    planes = _tile_planes(ot[:, 0], dt)
+    posn = jnp.maximum(planes, 0.0)
+    negn = jnp.minimum(planes, 0.0)
+    thresh = (jnp.einsum("tpk,tk->tp", posn, olo)
+              + jnp.einsum("tpk,tk->tp", negn, ohi))
+    k18, c18 = cull_tiles(aux, posn, negn, thresh, olo, ohi,
+                          k_cap=256, interpret=True, leaf_bits=18)
+    k20, c20 = cull_tiles(aux, posn, negn, thresh, olo, ohi,
+                          k_cap=256, interpret=True, leaf_bits=20)
+    np.testing.assert_array_equal(np.asarray(c18), np.asarray(c20))
+    for t in range(T):
+        lb18, l18 = _decode_keys(k18[t], 18)
+        lb20, l20 = _decode_keys(k20[t], 20)
+        n = int(np.asarray(c18)[t])
+        assert set(np.asarray(l18)[:n].tolist()) \
+            == set(np.asarray(l20)[:n].tolist())
+        # coarser keys truncate more mantissa: still lower bounds
+        m18 = {int(l): float(b) for l, b in
+               zip(np.asarray(l18)[:n], np.asarray(lb18)[:n])}
+        for l, b in zip(np.asarray(l20)[:n], np.asarray(lb20)[:n]):
+            assert b <= m18[int(l)] + 1e-6

@@ -224,7 +224,8 @@ def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
 
 def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
                  ohi_ref, tcap_ref, llo_ref, lhi_ref, keys_ref, cnt_ref,
-                 tmp_ref, *, n_leaves, k_cap, max_blocks):
+                 tmp_ref, *, n_leaves, k_cap, max_blocks,
+                 leaf_bits=_LEAF_BITS):
     """K1b: fine tier — walk this group's surviving-block worklist (SMEM,
     cheap scalar reads), frustum-test the 128 leaves of each block, and
     write each block's per-tile survivor keys to a SLOT-ALIGNED scratch
@@ -268,7 +269,10 @@ def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
         # the receivers without this)
         passed = passed & (lb < tcap_ref[:, 0:1])
         lbb = lax.bitcast_convert_type(lb, jnp.int32)
-        key_all = ((lbb >> _LEAF_BITS) << _LEAF_BITS) | (
+        # truncating MORE mantissa bits for bigger scenes keeps the
+        # decoded lb a LOWER bound (floats round toward zero), so gates
+        # and near-to-far ordering stay conservative
+        key_all = ((lbb >> leaf_bits) << leaf_bits) | (
             blk * LANES + lanes)
         tmp_ref[:, pl.ds(off_s, LANES)] = jnp.where(
             passed, key_all, _I32MAX)
@@ -286,10 +290,11 @@ def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
     cnt_ref[:, :] = counts
 
 
-@partial(jax.jit, static_argnames=("k_cap", "interpret", "max_blocks"))
+@partial(jax.jit, static_argnames=("k_cap", "interpret", "max_blocks",
+                                   "leaf_bits"))
 def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
                k_cap: int = 256, interpret: bool = False,
-               max_blocks: int = 128):
+               max_blocks: int = 128, leaf_bits: int = _LEAF_BITS):
     """Two-level dense frustum cull: per tile the (lb|leaf) keys of every
     leaf whose AABB intersects the tile frustum (unordered, live keys
     compacted to the front, I32MAX padded) + survivor counts.
@@ -365,7 +370,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
         G, 1, 1)
     keys, cnt = pl.pallas_call(
         partial(_cull_kernel, n_leaves=aux.n_leaves, k_cap=k_cap,
-                max_blocks=max_blocks),
+                max_blocks=max_blocks, leaf_bits=leaf_bits),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
@@ -517,7 +522,7 @@ _LPB = TRI_BLK // 4     # leaves per 128-tri super-block
 def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
                      gtab_ref, t_ref, i_ref, u_ref, v_ref, buf_ref, sem_ref,
                      *, k_cap, omap_s=0, prec=lax.Precision.HIGHEST,
-                     any_hit=False):
+                     any_hit=False, leaf_bits=_LEAF_BITS):
     """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
     DMA each live leaf's (4, 48) G-row block straight from HBM into a
     double-buffered (128, 48) VMEM super-block, and run the triple-product
@@ -558,7 +563,8 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
 
     def leaf_dma(sb, i, slot):
         ki = sb * _LPB + i
-        leaf = jnp.minimum(keys_ref[0, 0, ki] & _LEAF_MASK, max_leaf_row)
+        leaf = jnp.minimum(keys_ref[0, 0, ki] & ((1 << leaf_bits) - 1),
+                           max_leaf_row)
         return pltpu.make_async_copy(
             gtab_ref.at[pl.ds(leaf * 4, 4), :],
             buf_ref.at[pl.ds(slot * TRI_BLK + i * 4, 4), :],
@@ -703,10 +709,11 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
-                                   "mt_precision", "any_hit"))
+                                   "mt_precision", "any_hit", "leaf_bits"))
 def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
                      k_cap: int, interpret: bool = False, omap_s: int = 0,
-                     mt_precision: str = "highest", any_hit: bool = False):
+                     mt_precision: str = "highest", any_hit: bool = False,
+                     leaf_bits: int = _LEAF_BITS):
     """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
     (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
@@ -720,7 +727,7 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
     t_out, i_out, u_out, v_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
-                any_hit=any_hit),
+                any_hit=any_hit, leaf_bits=leaf_bits),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, k_cap), lambda i: (i, 0, 0),
@@ -761,10 +768,10 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
 # full pipeline
 # --------------------------------------------------------------------------
 
-def _decode_keys(keys):
-    lb = lax.bitcast_convert_type((keys >> _LEAF_BITS) << _LEAF_BITS,
+def _decode_keys(keys, leaf_bits=_LEAF_BITS):
+    lb = lax.bitcast_convert_type((keys >> leaf_bits) << leaf_bits,
                                   jnp.float32)
-    return lb, keys & _LEAF_MASK
+    return lb, keys & ((1 << leaf_bits) - 1)
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
@@ -815,9 +822,12 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     tcap = jnp.max(reach, axis=1)                         # (T,)
     tcap = jnp.where(jnp.isfinite(tcap), tcap * 1.001 + 1e-4, BVH_FAR)
 
+    # leaf ids must fit the key low bits: scenes beyond 2^18 leaf rows
+    # (>1M tris) trade distance-ordering granularity for id range
+    leaf_bits = max(_LEAF_BITS, (aux.leaf_lo.shape[1] - 1).bit_length())
     keys, counts = cull_tiles(aux, posn, negn, thresh, olo, ohi, tcap,
                               k_cap=K, interpret=interpret,
-                              max_blocks=max_blocks)
+                              max_blocks=max_blocks, leaf_bits=leaf_bits)
     overflow = counts > K
 
     keys_s = keys[:, :K]
@@ -833,14 +843,14 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         # block gather — no full key sort). Near-to-far block order makes
         # the kernel's gate early-exit CORRECT mid-list: once the next
         # gate exceeds every ray's best t, all later blocks do too.
-        lb0, _ = _decode_keys(keys_s)
+        lb0, _ = _decode_keys(keys_s, leaf_bits)
         lb_live = jnp.where(keys_s != _I32MAX, lb0, BVH_FAR)
         lbmin = lb_live.reshape(T, nbk, 32).min(axis=2)      # (T, nb)
         order = jnp.argsort(lbmin, axis=1)
         keys_s = jnp.take_along_axis(
             keys_s.reshape(T, nbk, 32), order[..., None], axis=1
         ).reshape(T, K)
-    lb, leaves = _decode_keys(keys_s)
+    lb, leaves = _decode_keys(keys_s, leaf_bits)
     live = keys_s != _I32MAX
     lrow = jnp.where(live, leaves, 0)
 
@@ -889,7 +899,8 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
             keys_s, cnt_k, lbg, tmax.reshape(T, 1),
             o_c, d_t, aux.gtab_pad, k_cap=K,
             interpret=interpret, omap_s=aux.omap_s,
-            mt_precision=mt_precision, any_hit=any_hit)
+            mt_precision=mt_precision, any_hit=any_hit,
+            leaf_bits=leaf_bits)
         kuv = (ku, kv)
     else:
         best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
