@@ -68,14 +68,26 @@ def _amortized(fn_async, n=8):
     """Sustained per-call seconds: queue n async dispatches, sync once
     (pays the tunnel round-trip once), then force a D2H readback as the
     hard completion barrier (this backend's per-array block_until_ready
-    has returned early under a dispatch window)."""
-    import jax
+    has returned early under a dispatch window).
 
-    jax.block_until_ready(fn_async())   # warm
+    The barrier readback must be ONE element sliced ON DEVICE: a
+    full-array np.asarray() pulls megabytes through the tunnel whose
+    D2H time (variable, up to seconds) lands inside the timed region —
+    r3 rehearsal measured bunny at 0.775 MRays/s purely from that."""
+    import jax
+    import jax.numpy as jnp
+
+    def barrier(out):
+        # the 1-element slice dispatch rides the in-order queue behind
+        # every prior dispatch, so its 4-byte D2H IS the completion
+        # barrier for the whole window (~1 RTT of overhead total)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jnp.ravel(leaf)[:1])
+
+    barrier(fn_async())   # warm
     t0 = time.perf_counter()
     outs = [fn_async() for _ in range(n)]
-    jax.block_until_ready(outs)
-    np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[:1]
+    barrier(outs[-1])
     dt = (time.perf_counter() - t0) / n
     # let result-buffer deallocations drain before the next phase
     time.sleep(2.0)

@@ -40,37 +40,47 @@ class BVH:
             max_leaf = cfg.max_leaf
         if bins is None:
             bins = cfg.bins
-        tris = jnp.asarray(tris, jnp.float32)
-        if tris.ndim == 2:  # (3N, 3/4) vertex soup → (N, 3, 3)
-            if tris.shape[0] % 3 or tris.shape[1] not in (3, 4):
+        # Normalize the input on the HOST: transfers through this
+        # environment's device tunnel are slow and variable (D2H of a
+        # 10 MB array has cost minutes), so host-side build work must
+        # never round-trip a device array. A device-array input pays
+        # ONE unavoidable D2H here; a numpy input pays nothing.
+        tris_host = np.asarray(tris, np.float32)
+        if tris_host.ndim == 2:  # (3N, 3/4) vertex soup → (N, 3, 3)
+            if tris_host.shape[0] % 3 or tris_host.shape[1] not in (3, 4):
                 raise ValueError(
-                    f"vertex soup must be (3N, 3|4), got {tris.shape}"
+                    f"vertex soup must be (3N, 3|4), got {tris_host.shape}"
                 )
-            tris = tris[:, :3].reshape(-1, 3, 3)
-        if tris.ndim != 3 or tris.shape[1:] != (3, 3) or tris.shape[0] == 0:
+            tris_host = tris_host[:, :3].reshape(-1, 3, 3)
+        if (tris_host.ndim != 3 or tris_host.shape[1:] != (3, 3)
+                or tris_host.shape[0] == 0):
             raise ValueError(
-                f"triangles must be (N, 3, 3) with N >= 1, got {tris.shape}"
+                f"triangles must be (N, 3, 3) with N >= 1, "
+                f"got {tris_host.shape}"
             )
-        self.tris = tris
+        self.tris = jnp.asarray(tris_host)
         self._host = None
+        self._bvh2 = None
         if builder == "sah":
             # prefer the native C builder (27x the numpy one); same
             # algorithm and SAH rules, numpy fallback without a compiler
             from tinybvh_tpu.native import build_binned_native
 
             got = build_binned_native(
-                np.asarray(tris), max_leaf=max_leaf or 0, return_host=True
+                tris_host, max_leaf=max_leaf or 0, return_host=True,
+                make_device=False,
             ) if bins == 8 else None
             if got is None:
-                self.bvh2 = build_binned(tris, bins=bins, max_leaf=max_leaf)
+                self._bvh2 = build_binned(self.tris, bins=bins,
+                                          max_leaf=max_leaf)
             else:
-                self.bvh2, self._host = got
+                _, self._host = got
         elif builder == "median":
-            self.bvh2 = build_binned(tris, strategy="median")
+            self._bvh2 = build_binned(self.tris, strategy="median")
         elif builder == "lbvh":
             from tinybvh_tpu.builders.lbvh import build_lbvh
 
-            self.bvh2 = build_lbvh(tris)
+            self._bvh2 = build_lbvh(self.tris)
         else:
             raise ValueError(f"unknown builder {builder!r}")
         # use host copies where available: D2H readbacks through this
@@ -79,18 +89,43 @@ class BVH:
             count_np = self._host["count"]
             prim_np = self._host["prim_idx"]
         else:
-            count_np = np.asarray(self.bvh2.count)
-            prim_np = np.asarray(self.bvh2.prim_idx)
+            count_np = np.asarray(self._bvh2.count)
+            prim_np = np.asarray(self._bvh2.prim_idx)
         self.leaf_max = int(count_np.max())
-        self.packed_tris = jnp.asarray(np.asarray(tris)[prim_np])
+        # permutation gather ON DEVICE (uploads N int32 ids, not 9N floats)
+        self.packed_tris = self.tris[jnp.asarray(prim_np)]
         self._refit_plan = None
         self.layout = layout
         self.bvh8 = None
         if layout == "bvh8" and self.leaf_max <= 4:
             from tinybvh_tpu.layouts.mbvh import collapse_bvh2
 
-            self.bvh8 = collapse_bvh2(self.bvh2, tris, host=self._host)
+            self.bvh8 = collapse_bvh2(
+                self._bvh2, tris_host, host=self._host, tris_dev=self.tris)
         self._packet_aux = None
+
+    @property
+    def bvh2(self):
+        """BVH2 device arrays, uploaded lazily: the packet/bvh8 engines
+        never touch them, and the ~5 floats/node H2D is expensive through
+        the tunnel — only materialize for callers that traverse BVH2."""
+        if self._bvh2 is None:
+            from tinybvh_tpu.layouts.bvh2 import BVH2
+
+            h = self._host
+            self._bvh2 = BVH2(
+                node_min=jnp.asarray(h["node_min"]),
+                node_max=jnp.asarray(h["node_max"]),
+                left_first=jnp.asarray(h["left_first"]),
+                count=jnp.asarray(h["count"]),
+                prim_idx=jnp.asarray(h["prim_idx"]),
+                n_nodes=jnp.asarray(h["n_nodes"], jnp.int32),
+            )
+        return self._bvh2
+
+    @bvh2.setter
+    def bvh2(self, value):
+        self._bvh2 = value
 
     @classmethod
     def from_vertex_buffer(cls, buf, stride: int, offset: int = 0,
@@ -231,7 +266,7 @@ class BVH:
         if self.bvh8 is not None:
             from tinybvh_tpu.layouts.mbvh import collapse_bvh2
 
-            self.bvh8 = collapse_bvh2(self.bvh2, self.tris)
+            self.bvh8 = collapse_bvh2(self.bvh2, None, tris_dev=self.tris)
         return self
 
     # -- metrics ----------------------------------------------------------

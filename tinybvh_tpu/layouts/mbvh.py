@@ -50,7 +50,7 @@ class BVH8:
 
 
 def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
-                  host: dict | None = None) -> BVH8:
+                  host: dict | None = None, tris_dev=None) -> BVH8:
     """Collapse a BVH2 into the wide layout (host-side).
 
     Mirrors MBVH<M>::ConvertFrom (tiny_bvh.h:4975-5048): greedily adopt the
@@ -61,6 +61,12 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
     width < 8 (e.g. 4 ≙ MBVH<4>/BVH4_CPU, tiny_bvh.h:1291) limits the
     branching factor but keeps the physical 8-slot row format so every
     traversal engine works unchanged (the unused slots stay EMPTY_SLOT).
+
+    tris_dev: optional device-resident (N, 3, 3) triangle array. When
+    given, leaf_tris is GATHERED ON DEVICE from it instead of being
+    assembled on the host and uploaded — the (L, 4, 3, 3) host gather is
+    the single biggest H2D payload of a build (10 MB at 278k tris) and
+    tunnel H2D is slow; the id upload is 9x smaller.
     """
     assert 2 <= width <= 8
     if host is not None:
@@ -75,7 +81,7 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
         lf = np.asarray(bvh.left_first)
         ct = np.asarray(bvh.count)
         pidx = np.asarray(bvh.prim_idx)
-    tris_np = np.asarray(tris, np.float32)
+    tris_np = None if tris_dev is not None else np.asarray(tris, np.float32)
     assert int(ct.max()) <= leaf_width, (
         f"BVH2 leaves up to {int(ct.max())} prims; rebuild with "
         f"max_leaf={leaf_width}"
@@ -93,13 +99,14 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
     def add_leaf(b2node) -> int:
         first, cnt = lf[b2node], ct[b2node]
         ids = pidx[first : first + cnt]
-        t = np.zeros((leaf_width, 3, 3), np.float32)
         p = np.full(leaf_width, -1, np.int64)
-        t[:cnt] = tris_np[ids]
         p[:cnt] = ids
-        leaf_tris.append(t)
         leaf_prim.append(p)
-        return len(leaf_tris) - 1
+        if tris_np is not None:
+            t = np.zeros((leaf_width, 3, 3), np.float32)
+            t[:cnt] = tris_np[ids]
+            leaf_tris.append(t)
+        return len(leaf_prim) - 1
 
     # breadth-first emission; work items are (bvh2_node, my_row)
     if ct[0] > 0:  # root is a leaf: single node with one leaf child
@@ -149,9 +156,16 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
 
     bounds = np.stack([b.reshape(-1) for b in node_bounds])
     child = np.stack(node_child)
+    lp = jnp.asarray(np.stack(leaf_prim), jnp.int32)
+    if tris_np is not None:
+        lt = jnp.asarray(np.stack(leaf_tris), jnp.float32)
+    else:
+        n = tris_dev.shape[0]
+        lt = jnp.where((lp >= 0)[..., None, None],
+                       tris_dev[jnp.clip(lp, 0, n - 1)], 0.0)
     return BVH8(
         bounds=jnp.asarray(bounds, jnp.float32),
         child=jnp.asarray(child, jnp.int32),
-        leaf_tris=jnp.asarray(np.stack(leaf_tris), jnp.float32),
-        leaf_prim=jnp.asarray(np.stack(leaf_prim), jnp.int32),
+        leaf_tris=lt,
+        leaf_prim=lp,
     )

@@ -57,13 +57,17 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_binned_native(tris, max_leaf: int = 4, return_host: bool = False):
+def build_binned_native(tris, max_leaf: int = 4, return_host: bool = False,
+                        make_device: bool = True):
     """C binned-SAH build → BVH2 (same conventions as builders.binned).
 
     Returns None if the native library is unavailable. With return_host,
     returns (BVH2, host_arrays_dict) — device→host readbacks cost minutes
     through this environment's TPU tunnel, so callers should keep the host
-    copies for metadata (leaf_max, root AABB, …).
+    copies for metadata (leaf_max, root AABB, …). make_device=False skips
+    the ~5-arrays H2D upload and returns (None, host): callers that only
+    need the host tree (api.BVH materializes device arrays lazily) avoid
+    paying tunnel time for arrays the packet engines never read.
     """
     import jax.numpy as jnp
 
@@ -98,6 +102,8 @@ def build_binned_native(tris, max_leaf: int = 4, return_host: bool = False):
     node_max[1] = -1e30
     host = dict(node_min=node_min, node_max=node_max, left_first=left_first,
                 count=count, prim_idx=prim_idx, n_nodes=int(n_used))
+    if not make_device:
+        return (None, host) if return_host else None
     out = BVH2(
         node_min=jnp.asarray(node_min),
         node_max=jnp.asarray(node_max),

@@ -213,13 +213,21 @@ def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
     of the group's TB tile frusta. Pure vector math, no branches."""
     nbl = blo_ref.shape[1] // LANES
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    for j in range(nbl):
-        lo = blo_ref[:, j * LANES:(j + 1) * LANES]
-        hi = bhi_ref[:, j * LANES:(j + 1) * LANES]
+
+    # fori_loop, NOT an unrolled python loop: Mosaic stack-allocates the
+    # live temporaries of every unrolled iteration at once, and a 1M-tri
+    # scene (nbl=37) blew the 16 MB scoped-vmem limit at compile time
+    def body(j, _):
+        off = pl.multiple_of(j * LANES, LANES)
+        lo = blo_ref[:, pl.ds(off, LANES)]
+        hi = bhi_ref[:, pl.ds(off, LANES)]
         ok = _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi)
         ok = ok & ((j * LANES + lanes) < n_blocks)
-        mask_ref[0, 0, j * LANES:(j + 1) * LANES] = jnp.any(
+        mask_ref[0, 0, pl.ds(off, LANES)] = jnp.any(
             ok, axis=0, keepdims=True).astype(jnp.int32)[0]
+        return 0
+
+    lax.fori_loop(0, nbl, body, 0)
 
 
 def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
