@@ -221,8 +221,11 @@ def bench_scene(tris, name, ref_entry=None,
     # after a queued-dispatch phase fail on this backend)
     hits, ovf = primary()
     jax.block_until_ready(hits.t)
-    out["hit_rate"] = round(float(np.mean(np.asarray(hits.prim) >= 0)), 4)
-    out["primary_overflow_tiles"] = int(np.asarray(ovf).sum())
+    # scalar-only readbacks: D2H of a full (R,) array costs minutes
+    # through this tunnel (measured: 1MB D2H > 5 min) - reduce on device
+    out["hit_rate"] = round(float(jnp.mean((hits.prim >= 0)
+                                           .astype(jnp.float32))), 4)
+    out["primary_overflow_tiles"] = int(jnp.sum(ovf))
     mark("warm_primary")
     _emit(out)
 
@@ -249,7 +252,7 @@ def bench_scene(tris, name, ref_entry=None,
             p_dev = shadow_points(hits.t)
             occ, sovf = shadow()
             jax.block_until_ready(occ)
-            out["shadow_overflow_tiles"] = int(np.asarray(sovf).sum())
+            out["shadow_overflow_tiles"] = int(jnp.sum(sovf))
             shadow_ready = True
             mark("warm_shadow")
     except Exception as e:  # pragma: no cover - device-dependent
@@ -293,7 +296,7 @@ def bench_scene(tris, name, ref_entry=None,
 
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)
-        out["diffuse_overflow_rays"] = int(np.asarray(dov).sum())
+        out["diffuse_overflow_rays"] = int(jnp.sum(dov))
         diffuse_ready = True
         mark("warm_diffuse")
     except _SkipPhase:
@@ -419,8 +422,9 @@ def _sub_section(section):
 
         h, ovf = packet_trace()
         jax.block_until_ready(h.t)
-        out["hit_rate"] = round(float(np.mean(np.asarray(h.prim) >= 0)), 4)
-        out["packet_overflow_tiles"] = int(np.asarray(ovf).sum())
+        out["hit_rate"] = round(float(jnp.mean((h.prim >= 0)
+                                       .astype(jnp.float32))), 4)
+        out["packet_overflow_tiles"] = int(jnp.sum(ovf))
         _emit(out)
         t = _amortized(packet_trace, n=4)
         out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
@@ -475,7 +479,8 @@ def _sub_section(section):
             "n_tris": int(sum(m.tris.shape[0] for m in sc.meshes)),
             "n_instances": int(len(sc._instances)),
             "scene_update_s": round(up_s, 3),
-            "hit_rate": round(float(np.mean(np.asarray(h.prim) >= 0)), 4),
+            "hit_rate": round(float(jnp.mean((h.prim >= 0)
+                                 .astype(jnp.float32))), 4),
         }
         _emit(out)
         t = _amortized(scene_trace, n=4)

@@ -246,7 +246,7 @@ def test_fused_kernel_dead_keys_within_count(scene):
     o_t[:, 2, :] = -3.0 - np.asarray(aux.center)[2]
     d_t = np.zeros((T, 3, TILE), np.float32)
     d_t[:, 2, :] = 1.0
-    t, i, _, _ = mt_resolve_fused(
+    t, i, _, _, _ = mt_resolve_fused(
         jnp.asarray(keys), jnp.asarray(counts), jnp.asarray(lbg),
         jnp.asarray(tmax), jnp.asarray(o_t) - np.asarray(aux.center)[:, None]
         + np.asarray(aux.center)[:, None], jnp.asarray(d_t),

@@ -92,16 +92,25 @@ class BVH:
             count_np = np.asarray(self._bvh2.count)
             prim_np = np.asarray(self._bvh2.prim_idx)
         self.leaf_max = int(count_np.max())
-        # permutation gather ON DEVICE (uploads N int32 ids, not 9N floats)
-        self.packed_tris = self.tris[jnp.asarray(prim_np)]
+        # host gather + one upload: H2D is fast through the tunnel;
+        # device gathers pay a per-shape remote compile and D2H is minutes
+        self.packed_tris = jnp.asarray(tris_host[prim_np])
         self._refit_plan = None
         self.layout = layout
         self.bvh8 = None
+        self._bvh8_host = None
         if layout == "bvh8" and self.leaf_max <= 4:
-            from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+            from tinybvh_tpu.layouts.mbvh import BVH8, collapse_bvh2
 
-            self.bvh8 = collapse_bvh2(
-                self._bvh2, tris_host, host=self._host, tris_dev=self.tris)
+            h8 = collapse_bvh2(self._bvh2, tris_host, host=self._host,
+                               as_host=True)
+            self._bvh8_host = h8
+            self.bvh8 = BVH8(
+                bounds=jnp.asarray(h8["bounds"]),
+                child=jnp.asarray(h8["child"]),
+                leaf_tris=jnp.asarray(h8["leaf_tris"]),
+                leaf_prim=jnp.asarray(h8["leaf_prim"]),
+            )
         self._packet_aux = None
 
     @property
@@ -159,9 +168,16 @@ class BVH:
         if self._packet_aux is None:
             if self.bvh8 is None:
                 raise ValueError("packet tracing needs the bvh8 layout")
-            from tinybvh_tpu.traverse.packet2 import build_packet_aux
+            if self._bvh8_host is not None:
+                from tinybvh_tpu.traverse.packet2 import (
+                    build_packet_aux_host,
+                )
 
-            self._packet_aux = build_packet_aux(self.bvh8)
+                self._packet_aux = build_packet_aux_host(self._bvh8_host)
+            else:
+                from tinybvh_tpu.traverse.packet2 import build_packet_aux
+
+                self._packet_aux = build_packet_aux(self.bvh8)
         return self._packet_aux
 
     # -- queries ----------------------------------------------------------
@@ -267,6 +283,9 @@ class BVH:
             from tinybvh_tpu.layouts.mbvh import collapse_bvh2
 
             self.bvh8 = collapse_bvh2(self.bvh2, None, tris_dev=self.tris)
+            # refit moved geometry: host copies and packet tables are stale
+            self._bvh8_host = None
+            self._packet_aux = None
         return self
 
     # -- metrics ----------------------------------------------------------

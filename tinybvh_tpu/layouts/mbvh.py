@@ -50,7 +50,8 @@ class BVH8:
 
 
 def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
-                  host: dict | None = None, tris_dev=None) -> BVH8:
+                  host: dict | None = None, tris_dev=None,
+                  as_host: bool = False):
     """Collapse a BVH2 into the wide layout (host-side).
 
     Mirrors MBVH<M>::ConvertFrom (tiny_bvh.h:4975-5048): greedily adopt the
@@ -63,12 +64,21 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
     traversal engine works unchanged (the unused slots stay EMPTY_SLOT).
 
     tris_dev: optional device-resident (N, 3, 3) triangle array. When
-    given, leaf_tris is GATHERED ON DEVICE from it instead of being
-    assembled on the host and uploaded — the (L, 4, 3, 3) host gather is
-    the single biggest H2D payload of a build (10 MB at 278k tris) and
-    tunnel H2D is slow; the id upload is 9x smaller.
+    given (and tris is None), leaf_tris is GATHERED ON DEVICE from it —
+    for callers whose triangles only exist on device (refit re-collapse),
+    where a host gather would cost a D2H readback (minutes through the
+    tunnel). Callers with host triangles should pass them instead: H2D
+    is fast here, but every eager device op pays a per-shape remote
+    compile.
+
+    as_host: return a dict of NUMPY arrays (bounds, child, leaf_tris,
+    leaf_prim) instead of a device BVH8 — for the all-host build path
+    (api.BVH) that uploads once and builds the packet tables in numpy.
     """
     assert 2 <= width <= 8
+    if as_host:
+        assert tris is not None, "as_host needs host triangles"
+        tris_dev = None
     if host is not None:
         # device→host readbacks cost minutes through this environment's
         # TPU tunnel; builders that kept host copies pass them in
@@ -154,9 +164,14 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
             node_bounds[row] = row_b
             node_child[row] = row_c
 
-    bounds = np.stack([b.reshape(-1) for b in node_bounds])
-    child = np.stack(node_child)
-    lp = jnp.asarray(np.stack(leaf_prim), jnp.int32)
+    bounds = np.stack([b.reshape(-1) for b in node_bounds]).astype(np.float32)
+    child = np.stack(node_child).astype(np.int32)
+    lp_np = np.stack(leaf_prim).astype(np.int32)
+    if as_host:
+        return dict(bounds=bounds, child=child,
+                    leaf_tris=np.stack(leaf_tris).astype(np.float32),
+                    leaf_prim=lp_np)
+    lp = jnp.asarray(lp_np)
     if tris_np is not None:
         lt = jnp.asarray(np.stack(leaf_tris), jnp.float32)
     else:
@@ -164,8 +179,8 @@ def collapse_bvh2(bvh: BVH2, tris, width: int = 8, leaf_width: int = 4,
         lt = jnp.where((lp >= 0)[..., None, None],
                        tris_dev[jnp.clip(lp, 0, n - 1)], 0.0)
     return BVH8(
-        bounds=jnp.asarray(bounds, jnp.float32),
-        child=jnp.asarray(child, jnp.int32),
+        bounds=jnp.asarray(bounds),
+        child=jnp.asarray(child),
         leaf_tris=lt,
         leaf_prim=lp,
     )

@@ -151,13 +151,102 @@ def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
         w = jnp.sum(bits.reshape(4 * L, nw, 16)
                     << jnp.arange(16, dtype=jnp.int32), axis=2)
         ow = w.astype(jnp.float32)                       # exact (< 2^16)
+    # per-tri global prim id (bit-cast i32) rides in the lane after the
+    # omap words: the fused kernel one-hot-selects the winner's id so the
+    # wrapper never does a (R,)-element XLA gather over leaf_prim
+    pid = lax.bitcast_convert_type(
+        bvh8.leaf_prim.reshape(4 * L, 1).astype(jnp.int32), jnp.float32)
     gtab_pad = jnp.concatenate(
-        [gtab.reshape(-1, 48), ow,
-         jnp.zeros((4 * L, 128 - 48 - ow.shape[1]), jnp.float32)], axis=1)
+        [gtab.reshape(-1, 48), ow, pid,
+         jnp.zeros((4 * L, 127 - 48 - ow.shape[1]), jnp.float32)], axis=1)
     return PacketAux(leaf_lo=lo_p.T, leaf_hi=hi_p.T,
                      blk_lo=blo.T, blk_hi=bhi.T, gtab=gtab,
                      gtab_pad=gtab_pad, center=center,
                      omap=omap, omap_s=S)
+
+
+def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
+    """Numpy twin of build_packet_aux for the all-host build path.
+
+    Through the tunnel backend every eager device op and every jitted
+    function pays a per-shape REMOTE compile (measured: the jitted aux
+    build alone cost 37 s on bunny, 85 s on grid4), while H2D uploads
+    run at hundreds of MB/s. Computing the tables in numpy and uploading
+    the results once makes aux construction ~free.
+
+    bvh8_host: dict from collapse_bvh2(..., as_host=True).
+    omap: optional (L, 4, S, S) bool numpy opacity micromaps."""
+    import numpy as np
+
+    lt = np.asarray(bvh8_host["leaf_tris"], np.float32)   # (L, 4, 3, 3)
+    lp = np.asarray(bvh8_host["leaf_prim"])
+    valid = (lp >= 0)[..., None, None]
+    big = np.where(valid, lt, BVH_FAR)
+    small = np.where(valid, lt, -BVH_FAR)
+    lo = big.min(axis=(1, 2))
+    hi = small.max(axis=(1, 2))
+    center = ((lo.min(axis=0) + hi.max(axis=0)) * 0.5).astype(np.float32)
+
+    L = lt.shape[0]
+    lpad = -(-L // LANES) * LANES
+    pad = lpad - L
+    lo_p = np.concatenate(
+        [lo, np.full((pad, 3), BVH_FAR, np.float32)], axis=0)
+    hi_p = np.concatenate(
+        [hi, np.full((pad, 3), -BVH_FAR, np.float32)], axis=0)
+
+    v0 = lt[:, :, 0] - center
+    e1 = lt[:, :, 1] - lt[:, :, 0]
+    e2 = lt[:, :, 2] - lt[:, :, 0]
+    n = np.cross(e1, e2)
+    k = np.sum(n * v0, axis=-1, keepdims=True)
+    z3 = np.zeros_like(v0)
+    z1 = np.zeros_like(k)
+    z2 = np.zeros(v0.shape[:-1] + (2,), np.float32)
+    g_det = np.concatenate([n, z3, z3, z1, z2], axis=-1)
+    g_u = np.concatenate([-np.cross(v0, e2), -e2, z3, z1, z2], axis=-1)
+    g_v = np.concatenate([np.cross(v0, e1), e1, z3, z1, z2], axis=-1)
+    g_t = np.concatenate([z3, z3, -n, k, z2], axis=-1)
+    tri_ok = (lp >= 0)[..., None]
+    gtab = np.where(tri_ok, np.concatenate(
+        [g_det, g_u, g_v, g_t], axis=-1), 0.0).astype(np.float32)
+
+    nb = lpad // LANES
+    blo = lo_p.reshape(nb, LANES, 3).min(axis=1)
+    bhi = hi_p.reshape(nb, LANES, 3).max(axis=1)
+    nbpad = -(-nb // LANES) * LANES
+    blo = np.concatenate(
+        [blo, np.full((nbpad - nb, 3), BVH_FAR, np.float32)], axis=0)
+    bhi = np.concatenate(
+        [bhi, np.full((nbpad - nb, 3), -BVH_FAR, np.float32)], axis=0)
+    if omap is None:
+        ow = np.zeros((4 * L, 0), np.float32)
+        S = 0
+        omap_dev = None
+    else:
+        omap = np.asarray(omap)
+        S = omap.shape[-1]
+        nw = (S * S + 15) // 16
+        bits = omap.reshape(4 * L, S * S).astype(np.int32)
+        pad_b = nw * 16 - S * S
+        bits = np.concatenate(
+            [bits, np.zeros((4 * L, pad_b), np.int32)], axis=1)
+        w = np.sum(bits.reshape(4 * L, nw, 16)
+                   << np.arange(16, dtype=np.int32), axis=2)
+        ow = w.astype(np.float32)
+        omap_dev = jnp.asarray(omap)
+    pid = lp.reshape(4 * L, 1).astype(np.int32).view(np.float32)
+    gtab_pad = np.concatenate(
+        [gtab.reshape(-1, 48), ow, pid,
+         np.zeros((4 * L, 127 - 48 - ow.shape[1]), np.float32)], axis=1)
+    return PacketAux(leaf_lo=jnp.asarray(lo_p.T.copy()),
+                     leaf_hi=jnp.asarray(hi_p.T.copy()),
+                     blk_lo=jnp.asarray(blo.T.copy()),
+                     blk_hi=jnp.asarray(bhi.T.copy()),
+                     gtab=jnp.asarray(gtab),
+                     gtab_pad=jnp.asarray(gtab_pad),
+                     center=jnp.asarray(center),
+                     omap=omap_dev, omap_s=S)
 
 
 # --------------------------------------------------------------------------
@@ -528,8 +617,9 @@ _LPB = TRI_BLK // 4     # leaves per 128-tri super-block
 
 
 def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
-                     gtab_ref, t_ref, i_ref, u_ref, v_ref, buf_ref, sem_ref,
-                     *, k_cap, omap_s=0, prec=lax.Precision.HIGHEST,
+                     gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
+                     sem_ref, *, k_cap, omap_s=0,
+                     prec=lax.Precision.HIGHEST,
                      any_hit=False, leaf_bits=_LEAF_BITS):
     """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
     DMA each live leaf's (4, 48) G-row block straight from HBM into a
@@ -697,23 +787,32 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
                         keepdims=True)
         v_blk = jnp.sum(jnp.where(oh, vs * inv_ad2, 0.0), axis=0,
                         keepdims=True)
+        # winner's global prim id from the G-row payload lane (same
+        # one-hot trick as u/v): the wrapper needs no leaf_prim gather
+        pcol = 48 + ((omap_s * omap_s + 15) // 16 if omap_s else 0)
+        gp = lax.bitcast_convert_type(g[:, pcol:pcol + 1], jnp.int32)
+        p_blk = jnp.sum(jnp.where(oh, gp, 0), axis=0, keepdims=True)
         better = m < best_t
         best_t = jnp.where(better, m, best_t)
         best_i = jnp.where(better, sb * TRI_BLK + am, best_i)
         best_u = jnp.where(better, u_blk, state[4])
         best_v = jnp.where(better, v_blk, state[5])
-        return sb + 1, nxt, best_t, best_i, best_u, best_v
+        best_p = jnp.where(better, p_blk, state[6])
+        return sb + 1, nxt, best_t, best_i, best_u, best_v, best_p
 
     init = (jnp.int32(0), nsb > 0,
             jnp.zeros((1, TILE), jnp.float32) + tmax,
             jnp.zeros((1, TILE), jnp.int32),
             jnp.zeros((1, TILE), jnp.float32),
-            jnp.zeros((1, TILE), jnp.float32))
-    _, _, best_t, best_i, best_u, best_v = lax.while_loop(cond, body, init)
+            jnp.zeros((1, TILE), jnp.float32),
+            jnp.full((1, TILE), -1, jnp.int32))
+    (_, _, best_t, best_i, best_u, best_v,
+     best_p) = lax.while_loop(cond, body, init)
     t_ref[0, 0, :] = best_t[0]
     i_ref[0, 0, :] = best_i[0]
     u_ref[0, 0, :] = best_u[0]
     v_ref[0, 0, :] = best_v[0]
+    p_ref[0, 0, :] = best_p[0]
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
@@ -725,15 +824,16 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
     (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
-    -> (t (T, 256), idx (T, 256), u (T, 256), v (T, 256)) with idx =
-    position*4+lane into the key list (same convention as mt_resolve over
-    the gathered layout); u/v are the winner's barycentrics."""
+    -> (t (T, 256), idx (T, 256), u (T, 256), v (T, 256), prim (T, 256))
+    with idx = position*4+lane into the key list (same convention as
+    mt_resolve over the gathered layout); u/v are the winner's
+    barycentrics; prim the winner's global prim id (-1 = miss)."""
     T = keys.shape[0]
     nb = lbg.shape[2]
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions; "vpu"
     # bypasses the MXU entirely (exact f32 broadcast FMAs)
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
-    t_out, i_out, u_out, v_out = pl.pallas_call(
+    t_out, i_out, u_out, v_out, p_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
                 any_hit=any_hit, leaf_bits=leaf_bits),
         grid=(T,),
@@ -757,10 +857,11 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
             jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
             jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
         ),
         out_specs=tuple(
             pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM) for _ in range(4)),
+                         memory_space=pltpu.VMEM) for _ in range(5)),
         scratch_shapes=[
             pltpu.VMEM((2 * TRI_BLK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _LPB)),
@@ -769,7 +870,8 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     )(keys.reshape(T, 1, k_cap), counts.reshape(T, 1, 1), lbg,
       tmax.reshape(T, 1, 1), o_t, d_t, gtab_flat)
     return (t_out.reshape(T, TILE), i_out.reshape(T, TILE),
-            u_out.reshape(T, TILE), v_out.reshape(T, TILE))
+            u_out.reshape(T, TILE), v_out.reshape(T, TILE),
+            p_out.reshape(T, TILE))
 
 
 # --------------------------------------------------------------------------
@@ -896,33 +998,45 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     d_t = jnp.transpose(d, (0, 2, 1))
     tmax = jnp.broadcast_to(
         jnp.asarray(t_max, jnp.float32), (T,)).reshape(T, 1, 1)
-    kuv = None
+    tmax_r = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     if fused:
         # block reorder scatters live keys out of prefix order: count must
         # cover every live block (dead keys inside are guarded in-kernel);
         # the inf-gated dead tail is skipped by the gate early-exit
         n_live_blk = jnp.sum(blk_live, axis=1)
         cnt_k = jnp.where(jnp.minimum(counts, K) > 0, n_live_blk * 32, 0)
-        best_t, best_i, ku, kv = mt_resolve_fused(
+        best_t, _, ku, kv, kp = mt_resolve_fused(
             keys_s, cnt_k, lbg, tmax.reshape(T, 1),
             o_c, d_t, aux.gtab_pad, k_cap=K,
             interpret=interpret, omap_s=aux.omap_s,
             mt_precision=mt_precision, any_hit=any_hit,
             leaf_bits=leaf_bits)
-        kuv = (ku, kv)
+        # prim/u/v all recovered in-kernel: no (R,)-element XLA gathers
+        # (each cost milliseconds: random row gathers waste 15/16 of
+        # every (8, 128) granule)
+        best_t = jnp.where(best_t < tmax_r.reshape(T, TILE), best_t,
+                           BVH_FAR)
+        okf = (best_t < BVH_FAR).reshape(-1)
+        hits = Hits(
+            t=jnp.where(okf, best_t.reshape(-1), BVH_FAR),
+            u=jnp.where(okf, ku.reshape(-1), 0.0),
+            v=jnp.where(okf, kv.reshape(-1), 0.0),
+            prim=jnp.where(okf, kp.reshape(-1), -1),
+            inst=jnp.full(R, -1, jnp.int32),
+        )
     else:
         best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
                                     interpret=interpret)
 
-    # tri index in the sorted list -> leaf row + lane
-    pos = best_i >> 2
-    lane = best_i & 3
-    trow = jnp.arange(T, dtype=jnp.int32)[:, None]
-    row = lrow.reshape(-1)[trow * K + pos]
-    best_pk = row * 4 + lane
-    tmax_r = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-    best_t = jnp.where(best_t < tmax_r.reshape(T, TILE), best_t, BVH_FAR)
-    hits, _ = _finish(bvh8, rays, best_t, best_pk, overflow, R, T, kuv=kuv)
+        # tri index in the sorted list -> leaf row + lane
+        pos = best_i >> 2
+        lane = best_i & 3
+        trow = jnp.arange(T, dtype=jnp.int32)[:, None]
+        row = lrow.reshape(-1)[trow * K + pos]
+        best_pk = row * 4 + lane
+        best_t = jnp.where(best_t < tmax_r.reshape(T, TILE), best_t,
+                           BVH_FAR)
+        hits, _ = _finish(bvh8, rays, best_t, best_pk, overflow, R, T)
 
     if retrace:
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
