@@ -115,17 +115,19 @@ def main(K=256):
                   + jnp.einsum("tpk,tk->tp", negn, ohi))
         import jax.experimental.pallas as _pl
         from jax.experimental.pallas import tpu as _pltpu
+        from tinybvh_tpu.traverse.packet2 import _D_LANES
         G = posn.shape[0] // TB
         nbpad = aux.blk_lo.shape[1]
+        tp = posn.shape[0]
+        desc = jnp.concatenate([
+            posn.reshape(tp, 12), negn.reshape(tp, 12), thresh,
+            olo, ohi, jnp.full((tp, 1), 1e30, jnp.float32),
+            jnp.zeros((tp, 128 - _D_LANES), jnp.float32)], axis=1)
         blkmask = _pl.pallas_call(
             functools.partial(_cull_blocks_kernel, n_blocks=aux.n_blocks),
             grid=(G,),
             in_specs=[
-                _pl.BlockSpec((TB, 4, 3), lambda i: (i, 0, 0),
-                              memory_space=_pltpu.VMEM),
-                _pl.BlockSpec((TB, 4, 3), lambda i: (i, 0, 0),
-                              memory_space=_pltpu.VMEM),
-                _pl.BlockSpec((TB, 4), lambda i: (i, 0),
+                _pl.BlockSpec((TB, 128), lambda i: (i, 0),
                               memory_space=_pltpu.VMEM),
                 _pl.BlockSpec((3, nbpad), lambda i: (0, 0),
                               memory_space=_pltpu.VMEM),
@@ -135,7 +137,7 @@ def main(K=256):
             out_shape=_jax.ShapeDtypeStruct((G, 1, nbpad), jnp.int32),
             out_specs=_pl.BlockSpec((1, 1, nbpad), lambda i: (i, 0, 0),
                                     memory_space=_pltpu.VMEM),
-        )(posn, negn, thresh, aux.blk_lo, aux.blk_hi)
+        )(desc, aux.blk_lo, aux.blk_hi)
         return blkmask
 
     bm, t_k1a = timeit("  K1a coarse", stage_k1a, aux, o4, d4)

@@ -279,29 +279,46 @@ def _compact_left(vals, lanes2):
     return vals
 
 
-def _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi):
+# Tile-descriptor lane layout: ALL per-tile cull scalars ride in ONE
+# lane-aligned (T, 128) f32 row. The earlier 5-8 separate tiny inputs
+# ((TB,4,3) planes, (TB,3) boxes, ...) have unaligned trailing dims, and
+# their per-grid-step padded fetches dominated both cull kernels
+# (measured: K1a alone 4.9 ms on bunny — ~25 us/step of pure overhead).
+_D_POSN = 0      # 12 lanes: max(plane,0), [p*3+k]
+_D_NEGN = 12     # 12 lanes: min(plane,0)
+_D_THR = 24      # 4 lanes: plane thresholds
+_D_OLO = 28      # 3 lanes: tile origin-box lo
+_D_OHI = 31      # 3 lanes: tile origin-box hi
+_D_TCAP = 34     # 1 lane: reach cap (world distance)
+_D_LANES = 35
+
+
+def _frustum_pass(desc, lo, hi):
     """(TB, 128) in-frustum mask of 128 AABBs vs TB tiles' planes.
 
-    Broadcast VPU arithmetic, not (8,3)@(3,128) dots: tiny matmuls are
-    MXU-latency-bound and serialize (measured: they alone ate the kernel
-    budget); (8,1)x(1,128) broadcasts pipeline freely."""
+    desc: (TB, 128) tile-descriptor VALUE (register-sliced — one aligned
+    load replaces many tiny unaligned ref fetches). Broadcast VPU
+    arithmetic, not (8,3)@(3,128) dots: tiny matmuls are MXU-latency-
+    bound and serialize; (8,1)x(1,128) broadcasts pipeline freely."""
     outside = jnp.zeros((TB, LANES), jnp.bool_)
     for p in range(4):
-        dist = -thr_ref[:, p:p + 1]                 # (TB, 1)
+        dist = -desc[:, _D_THR + p:_D_THR + p + 1]       # (TB, 1)
         for k in range(3):
+            q = p * 3 + k
             dist = (dist
-                    + posn_ref[:, p, k:k + 1] * hi[k:k + 1, :]
-                    + negn_ref[:, p, k:k + 1] * lo[k:k + 1, :])
+                    + desc[:, _D_POSN + q:_D_POSN + q + 1] * hi[k:k + 1, :]
+                    + desc[:, _D_NEGN + q:_D_NEGN + q + 1] * lo[k:k + 1, :])
         outside = outside | (dist < 0.0)
     return jnp.logical_not(outside)
 
 
-def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
+def _cull_blocks_kernel(desc_ref, blo_ref, bhi_ref,
                         mask_ref, *, n_blocks):
     """K1a: coarse tier — which 128-leaf blocks' union boxes intersect ANY
     of the group's TB tile frusta. Pure vector math, no branches."""
     nbl = blo_ref.shape[1] // LANES
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    desc = desc_ref[:, :]
 
     # fori_loop, NOT an unrolled python loop: Mosaic stack-allocates the
     # live temporaries of every unrolled iteration at once, and a 1M-tri
@@ -310,7 +327,7 @@ def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
         off = pl.multiple_of(j * LANES, LANES)
         lo = blo_ref[:, pl.ds(off, LANES)]
         hi = bhi_ref[:, pl.ds(off, LANES)]
-        ok = _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi)
+        ok = _frustum_pass(desc, lo, hi)
         ok = ok & ((j * LANES + lanes) < n_blocks)
         mask_ref[0, 0, pl.ds(off, LANES)] = jnp.any(
             ok, axis=0, keepdims=True).astype(jnp.int32)[0]
@@ -319,9 +336,8 @@ def _cull_blocks_kernel(posn_ref, negn_ref, thr_ref, blo_ref, bhi_ref,
     lax.fori_loop(0, nbl, body, 0)
 
 
-def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
-                 ohi_ref, tcap_ref, llo_ref, lhi_ref, keys_ref, cnt_ref,
-                 tmp_ref, *, n_leaves, k_cap, max_blocks,
+def _cull_kernel(nblk_ref, wl_ref, desc_ref, llo_ref, lhi_ref, keys_ref,
+                 cnt_ref, tmp_ref, *, n_leaves, k_cap, max_blocks,
                  leaf_bits=_LEAF_BITS):
     """K1b: fine tier — walk this group's surviving-block worklist (SMEM,
     cheap scalar reads), frustum-test the 128 leaves of each block, and
@@ -340,6 +356,7 @@ def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     tmp_ref[:, :] = jnp.full((TB, max_blocks * LANES), _I32MAX, jnp.int32)
     nblk = jnp.minimum(nblk_ref[0, 0, 0], max_blocks)
+    desc = desc_ref[:, :]
 
     def wl_body(j, _):
         blk = wl_ref[0, 0, j]
@@ -347,15 +364,16 @@ def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
         off_l = pl.multiple_of(blk * LANES, LANES)
         lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
         hi = lhi_ref[:, pl.ds(off_l, LANES)]
-        passed = _frustum_pass(posn_ref, negn_ref, thr_ref, lo, hi)
+        passed = _frustum_pass(desc, lo, hi)
         passed = passed & ((blk * LANES + lanes) < n_leaves)
 
         # conservative origin-box -> leaf-box distance (lower bound on
         # any tile ray's t to reach the leaf, for unit directions)
         g2 = jnp.zeros((TB, LANES), jnp.float32)
         for k in range(3):
-            gk = jnp.maximum(olo_ref[:, k:k + 1] - hi[k:k + 1, :],
-                             lo[k:k + 1, :] - ohi_ref[:, k:k + 1])
+            gk = jnp.maximum(
+                desc[:, _D_OLO + k:_D_OLO + k + 1] - hi[k:k + 1, :],
+                lo[k:k + 1, :] - desc[:, _D_OHI + k:_D_OHI + k + 1])
             gk = jnp.maximum(gk, 0.0)
             g2 = g2 + gk * gk
         lb = jnp.sqrt(g2)
@@ -364,7 +382,7 @@ def _cull_kernel(nblk_ref, wl_ref, posn_ref, negn_ref, thr_ref, olo_ref,
         # — drop it here so it neither costs MT work nor counts toward
         # the overflow budget (from-light shadow frusta sweep far past
         # the receivers without this)
-        passed = passed & (lb < tcap_ref[:, 0:1])
+        passed = passed & (lb < desc[:, _D_TCAP:_D_TCAP + 1])
         lbb = lax.bitcast_convert_type(lb, jnp.int32)
         # truncating MORE mantissa bits for bigger scenes keeps the
         # decoded lb a LOWER bound (floats round toward zero), so gates
@@ -423,19 +441,22 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
     nbpad = aux.blk_lo.shape[1]
     nb = aux.n_blocks
 
-    tile_specs = [
-        pl.BlockSpec((TB, 4, 3), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, 4, 3), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
+    # ONE lane-aligned (T, 128) descriptor row per tile (see _D_* layout):
+    # separate tiny unaligned inputs cost ~25 us of padded fetches per
+    # grid step and dominated both kernels
+    desc = jnp.concatenate([
+        posn.reshape(tp, 12), negn.reshape(tp, 12), thresh,
+        olo, ohi, tcap.reshape(tp, 1),
+        jnp.zeros((tp, 128 - _D_LANES), jnp.float32)], axis=1)
+
+    desc_spec = pl.BlockSpec((TB, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
 
     # --- K1a: coarse block mask per group --------------------------------
     blkmask = pl.pallas_call(
         partial(_cull_blocks_kernel, n_blocks=nb),
         grid=(G,),
-        in_specs=tile_specs + [
+        in_specs=[desc_spec] + [
             pl.BlockSpec((3, nbpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, nbpad), lambda i: (0, 0),
@@ -448,7 +469,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
         out_specs=pl.BlockSpec((1, 1, nbpad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(posn, negn, thresh, aux.blk_lo, aux.blk_hi)[:, 0, :]
+    )(desc, aux.blk_lo, aux.blk_hi)[:, 0, :]
 
     # --- worklist compaction (XLA): surviving block ids per group --------
     m = blkmask > 0
@@ -476,10 +497,8 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
             # (Mosaic tiling check applies to SMEM blocks as well)
             pl.BlockSpec((1, 1, max_blocks), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-        ] + tile_specs + [
-            pl.BlockSpec((TB, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            desc_spec,
+        ] + [
             pl.BlockSpec((3, lpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, lpad), lambda i: (0, 0),
@@ -500,8 +519,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
         scratch_shapes=[
             pltpu.VMEM((TB, max_blocks * LANES), jnp.int32)],
         interpret=interpret,
-    )(nblk_in, wl, posn, negn, thresh, olo, ohi, tcap.reshape(tp, 1),
-      aux.leaf_lo, aux.leaf_hi)
+    )(nblk_in, wl, desc, aux.leaf_lo, aux.leaf_hi)
     counts = cnt.reshape(tp)
     counts = jnp.where(jnp.repeat(wl_overflow, TB), k_cap + 1, counts)
     return keys[:T], counts[:T]
