@@ -336,93 +336,73 @@ def _cull_blocks_kernel(desc_ref, blo_ref, bhi_ref,
     lax.fori_loop(0, nbl, body, 0)
 
 
-def _cull_kernel_v2(nblk_ref, wl_ref, desc_ref, llo_ref, lhi_ref, out_ref,
-                    *, n_leaves, k_cap, max_blocks, gpb,
-                    leaf_bits=_LEAF_BITS):
-    """K1b v2: worklist walk with PER-BLOCK compaction.
+def _cull_kernel(nblk_ref, wl_ref, desc_ref, llo_ref, lhi_ref, keys_ref,
+                 cnt_ref, tmp_ref, *, n_leaves, k_cap, max_blocks,
+                 leaf_bits=_LEAF_BITS):
+    """K1b: fine tier — walk this group's surviving-block worklist (SMEM,
+    cheap scalar reads), frustum-test the 128 leaves of each block, and
+    write each block's per-tile survivor keys to a SLOT-ALIGNED scratch
+    column (slot j = worklist entry j), then compact all 8 tiles' rows
+    with ONE butterfly pass over the whole scratch at the end.
 
-    For each of this step's `gpb` groups: walk the group's surviving-
-    block worklist (SMEM scalars); per block, frustum+reach test its 128
-    leaves, butterfly-compact each tile row's survivors within the block
-    (7+7 passes over (TB, 128)), and place them at the row's running
-    count offset in a (1, k_cap+LANES) accumulator via a dynamic
-    pltpu.roll — so compaction work scales with LIVE blocks only.
-
-    Replaces the v1 slot-aligned design, whose (TB, max_blocks*128)
-    scratch init + full-width butterfly cost scaled with max_blocks
-    regardless of survivors (measured 3.5 ms on bunny for a mean of 38
-    survivors/tile), and whose ~17 us/step fixed overhead x G steps
-    dominated: gpb groups per step amortize it.
-
-    out_ref row layout: lanes [0, k_cap) = compacted keys (I32MAX dead),
-    lanes [k_cap, k_cap+LANES) = the row's FULL survivor count
-    (broadcast) — one aligned output instead of keys + a (TB, 1) counts
-    block whose 1-wide trailing dim forced a read-modify-write per step.
-    """
-    W = k_cap + LANES
+    The earlier per-(tile, block) merge ran a 256-lane butterfly under a
+    lax.cond for every tile of every surviving block — measured 43 ms on
+    bunny (16k tiny (1,256) compactions dominated). Slot-aligned writes
+    make the loop body branch-free vector code, and the single final
+    (8, max_blocks*128) compaction amortizes the butterfly across the
+    whole group. The loop's trip count is the group's LIVE block count
+    (SMEM scalar), not max_blocks — dead slots are covered by one vector
+    scratch init instead of 128-iteration cond branches."""
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    lanes2 = lax.broadcasted_iota(jnp.int32, (TB, LANES), 1)
+    tmp_ref[:, :] = jnp.full((TB, max_blocks * LANES), _I32MAX, jnp.int32)
+    nblk = jnp.minimum(nblk_ref[0, 0, 0], max_blocks)
+    desc = desc_ref[:, :]
 
-    for g in range(gpb):
-        nblk = jnp.minimum(nblk_ref[g, 0, 0], max_blocks)
-        desc = desc_ref[pl.ds(g * TB, TB), :]
+    def wl_body(j, _):
+        blk = wl_ref[0, 0, j]
+        off_s = pl.multiple_of(j * LANES, LANES)
+        off_l = pl.multiple_of(blk * LANES, LANES)
+        lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
+        hi = lhi_ref[:, pl.ds(off_l, LANES)]
+        passed = _frustum_pass(desc, lo, hi)
+        passed = passed & ((blk * LANES + lanes) < n_leaves)
 
-        def wl_body(j, carry, g=g, desc=desc):
-            accs, cnts = carry
-            blk = wl_ref[g, 0, j]
-            off_l = pl.multiple_of(blk * LANES, LANES)
-            lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
-            hi = lhi_ref[:, pl.ds(off_l, LANES)]
-            passed = _frustum_pass(desc, lo, hi)
-            passed = passed & ((blk * LANES + lanes) < n_leaves)
+        # conservative origin-box -> leaf-box distance (lower bound on
+        # any tile ray's t to reach the leaf, for unit directions)
+        g2 = jnp.zeros((TB, LANES), jnp.float32)
+        for k in range(3):
+            gk = jnp.maximum(
+                desc[:, _D_OLO + k:_D_OLO + k + 1] - hi[k:k + 1, :],
+                lo[k:k + 1, :] - desc[:, _D_OHI + k:_D_OHI + k + 1])
+            gk = jnp.maximum(gk, 0.0)
+            g2 = g2 + gk * gk
+        lb = jnp.sqrt(g2)
+        # reach cap: a leaf farther than every ray's world-distance bound
+        # (root-box exit x |d|, or the occlusion cutoff) can never be hit
+        # — drop it here so it neither costs MT work nor counts toward
+        # the overflow budget (from-light shadow frusta sweep far past
+        # the receivers without this)
+        passed = passed & (lb < desc[:, _D_TCAP:_D_TCAP + 1])
+        lbb = lax.bitcast_convert_type(lb, jnp.int32)
+        # truncating MORE mantissa bits for bigger scenes keeps the
+        # decoded lb a LOWER bound (floats round toward zero), so gates
+        # and near-to-far ordering stay conservative
+        key_all = ((lbb >> leaf_bits) << leaf_bits) | (
+            blk * LANES + lanes)
+        tmp_ref[:, pl.ds(off_s, LANES)] = jnp.where(
+            passed, key_all, _I32MAX)
+        return 0
 
-            # conservative origin-box -> leaf-box distance (lower bound
-            # on any tile ray's t to reach the leaf, for unit directions)
-            g2 = jnp.zeros((TB, LANES), jnp.float32)
-            for k in range(3):
-                gk = jnp.maximum(
-                    desc[:, _D_OLO + k:_D_OLO + k + 1] - hi[k:k + 1, :],
-                    lo[k:k + 1, :] - desc[:, _D_OHI + k:_D_OHI + k + 1])
-                gk = jnp.maximum(gk, 0.0)
-                g2 = g2 + gk * gk
-            lb = jnp.sqrt(g2)
-            # reach cap: a leaf farther than every ray's world-distance
-            # bound (root-box exit x |d|, or the occlusion cutoff) can
-            # never be hit — drop it here so it neither costs MT work nor
-            # counts toward the overflow budget
-            passed = passed & (lb < desc[:, _D_TCAP:_D_TCAP + 1])
-            lbb = lax.bitcast_convert_type(lb, jnp.int32)
-            # truncating MORE mantissa bits for bigger scenes keeps the
-            # decoded lb a LOWER bound (floats round toward zero), so
-            # gates and near-to-far ordering stay conservative
-            key_all = ((lbb >> leaf_bits) << leaf_bits) | (
-                blk * LANES + lanes)
-            vals = jnp.where(passed, key_all, _I32MAX)
-            comp = _compact_left(vals, lanes2)        # (TB, 128)
-            pc = passed.astype(jnp.int32)
+    lax.fori_loop(0, nblk, wl_body, 0)
 
-            new_accs = []
-            new_cnts = []
-            for r in range(TB):
-                cr = cnts[r]
-                vr = jnp.concatenate(
-                    [comp[r:r + 1, :],
-                     jnp.full((1, W - LANES), _I32MAX, jnp.int32)], axis=1)
-                rolled = pltpu.roll(vr, cr, axis=1)
-                new_accs.append(jnp.where(
-                    (rolled != _I32MAX) & (cr < k_cap), rolled, accs[r]))
-                new_cnts.append(cr + jnp.sum(pc[r:r + 1, :]))
-            return tuple(new_accs), tuple(new_cnts)
-
-        init = (tuple(jnp.full((1, W), _I32MAX, jnp.int32)
-                      for _ in range(TB)),
-                tuple(jnp.int32(0) for _ in range(TB)))
-        accs, cnts = lax.fori_loop(0, nblk, wl_body, init)
-        keys = jnp.concatenate(list(accs), axis=0)        # (TB, W)
-        cvec = jnp.concatenate(
-            [jnp.full((1, LANES), c, jnp.int32) for c in cnts], axis=0)
-        out_ref[pl.ds(g * TB, TB), pl.ds(0, k_cap)] = keys[:, :k_cap]
-        out_ref[pl.ds(g * TB, TB), pl.ds(k_cap, LANES)] = cvec
+    width = max_blocks * LANES
+    lanes_w = lax.broadcasted_iota(jnp.int32, (TB, width), 1)
+    comp = _compact_left(tmp_ref[:, :], lanes_w)
+    counts = jnp.sum((tmp_ref[:, :] != _I32MAX).astype(jnp.int32), axis=1,
+                     keepdims=True)
+    comp = jnp.where(lanes_w < counts, comp, _I32MAX)
+    keys_ref[:, :] = comp[:, :k_cap]
+    cnt_ref[:, :] = counts
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "max_blocks",
@@ -500,33 +480,41 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
     # --- K1b: fine leaf cull over the worklists --------------------------
     nblk_in = jnp.minimum(n_blk_g, max_blocks).astype(jnp.int32).reshape(
         G, 1, 1)
-    G2 = G // GPB
-    out = pl.pallas_call(
-        partial(_cull_kernel_v2, n_leaves=aux.n_leaves, k_cap=k_cap,
-                max_blocks=max_blocks, gpb=GPB, leaf_bits=leaf_bits),
-        grid=(G2,),
+    keys, cnt = pl.pallas_call(
+        partial(_cull_kernel, n_leaves=aux.n_leaves, k_cap=k_cap,
+                max_blocks=max_blocks, leaf_bits=leaf_bits),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((GPB, 1, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             # (G, 1, max_blocks): trailing block dims must equal the array's
             # (Mosaic tiling check applies to SMEM blocks as well)
-            pl.BlockSpec((GPB, 1, max_blocks), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, max_blocks), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((GPB * TB, 128), lambda i: (i, 0),
+            pl.BlockSpec((TB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, lpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, lpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((tp, k_cap + LANES), jnp.int32),
-        out_specs=pl.BlockSpec((GPB * TB, k_cap + LANES),
-                               lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, k_cap), jnp.int32),
+            jax.ShapeDtypeStruct((tp, 1), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec((TB, k_cap), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # VMEM, not SMEM: the counts come from one vector reduce
+            # (Mosaic can only store scalars to SMEM)
+            pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TB, max_blocks * LANES), jnp.int32)],
         interpret=interpret,
     )(nblk_in, wl, desc, aux.leaf_lo, aux.leaf_hi)
-    keys = out[:, :k_cap]
-    counts = out[:, k_cap]
+    counts = cnt.reshape(tp)
     counts = jnp.where(jnp.repeat(wl_overflow, TB), k_cap + 1, counts)
     return keys[:T], counts[:T]
 
@@ -640,13 +628,11 @@ def mt_resolve(o_t, d_t, geom, lbg, tmax, interpret: bool = False):
 _LPB = TRI_BLK // 4     # leaves per 128-tri super-block
 
 
-_TPB = 8               # tiles per K2f grid step (fixed-overhead amortizer)
-
-
-def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, od_ref,
-                     gtab_ref, out_ref, buf_ref, sem_ref, *, k_cap,
-                     omap_s=0, prec=lax.Precision.HIGHEST, any_hit=False,
-                     leaf_bits=_LEAF_BITS):
+def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
+                     gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
+                     sem_ref, *, k_cap, omap_s=0,
+                     prec=lax.Precision.HIGHEST,
+                     any_hit=False, leaf_bits=_LEAF_BITS):
     """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
     DMA each live leaf's (4, 48) G-row block straight from HBM into a
     double-buffered (128, 48) VMEM super-block, and run the triple-product
@@ -656,211 +642,189 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, od_ref,
     distance gate passes the tile's current t_far, so the issued/drained
     DMA sets always match.
 
-    Processes _TPB tiles SEQUENTIALLY per grid step: with ordered gates a
-    tile walks ~2 super-blocks on average, so the per-step fixed cost
-    (block fetches, grid bookkeeping — ~15 us measured) dominated a
-    1-tile-per-step kernel; 8 tiles amortize it. All tile I/O is packed
-    into lane/sublane-aligned blocks: od_ref (_TPB, 8, 256) rows
-    [ox,oy,oz,dx,dy,dz,0,0]; out_ref (_TPB, 8, 256) f32 rows
-    [t, u, v, idx(bits), prim(bits), -, -, -] (a (T, 1, 256) output per
-    quantity forced a read-modify-write of padded sublane tiles).
-
-    keys_ref (_TPB,1,k_cap) i32 SMEM; cnt_ref (_TPB,1,1) SMEM; lbg_ref
-    (_TPB,1,nb) f32 SMEM per-super-block gates; tmax_ref (_TPB,1,1) SMEM;
-    gtab_ref (4L+pad, 128) f32 in HBM (ANY); buf_ref (2*128, 128) VMEM
-    scratch; sem_ref (2, 32) DMA semaphores."""
+    keys_ref (1,1,k_cap) i32 SMEM; cnt_ref (1,1) SMEM; lbg_ref (1,1,nb)
+    f32 SMEM per-super-block gates; tmax_ref (1,1) f32 SMEM; o/d (1,3,256)
+    VMEM; gtab_ref (4L+pad, 48) f32 in HBM (ANY); buf_ref (2*128, 48)
+    VMEM scratch; sem_ref (2, 32) DMA semaphores."""
     nb = lbg_ref.shape[2]
+    count = jnp.minimum(cnt_ref[0, 0, 0], k_cap)
+    nsb = (count + _LPB - 1) // _LPB
+
+    d3 = d_ref[0]                                     # (3, 256)
+    o3 = o_ref[0]
+    ox, oy, oz = o3[0:1], o3[1:2], o3[2:3]
+    dx, dy, dz = d3[0:1], d3[1:2], d3[2:3]
+    cx = oy * dz - oz * dy
+    cy = oz * dx - ox * dz
+    cz = ox * dy - oy * dx
+    ones = jnp.ones((1, TILE), jnp.float32)
+    zeros = jnp.zeros((2, TILE), jnp.float32)
+    f = jnp.concatenate([d3, cx, cy, cz, o3, ones, zeros], axis=0)  # (12,256)
+
+    tmax = tmax_ref[0, 0, 0]
     rows = lax.broadcasted_iota(jnp.int32, (TRI_BLK, 1), 0)
+
     # a worklist-overflow group reports count = k_cap + 1 with possibly
     # FEWER live keys — dead (I32MAX) entries inside [0, count) must never
-    # reach the DMA engine: I32MAX & _LEAF_MASK is far past the end of
-    # gtab and an out-of-bounds descriptor kills the TPU worker
+    # reach the DMA engine: I32MAX & _LEAF_MASK = 262143 is far past the
+    # end of gtab and an out-of-bounds descriptor kills the TPU worker
     # (observed: bench shadow phase, from-light frusta overflow worklists)
     max_leaf_row = gtab_ref.shape[0] // 4 - 1
-    pcol = 48 + ((omap_s * omap_s + 15) // 16 if omap_s else 0)
 
-    def tile(tp):
-        count = jnp.minimum(cnt_ref[tp, 0, 0], k_cap)
-        nsb = (count + _LPB - 1) // _LPB
+    def leaf_dma(sb, i, slot):
+        ki = sb * _LPB + i
+        leaf = jnp.minimum(keys_ref[0, 0, ki] & ((1 << leaf_bits) - 1),
+                           max_leaf_row)
+        return pltpu.make_async_copy(
+            gtab_ref.at[pl.ds(leaf * 4, 4), :],
+            buf_ref.at[pl.ds(slot * TRI_BLK + i * 4, 4), :],
+            sem_ref.at[slot, i],
+        )
 
-        o3 = od_ref[tp, 0:3, :]                           # (3, 256)
-        d3 = od_ref[tp, 3:6, :]
-        ox, oy, oz = o3[0:1], o3[1:2], o3[2:3]
-        dx, dy, dz = d3[0:1], d3[1:2], d3[2:3]
-        cx = oy * dz - oz * dy
-        cy = oz * dx - ox * dz
-        cz = ox * dy - oy * dx
-        ones = jnp.ones((1, TILE), jnp.float32)
-        zeros = jnp.zeros((2, TILE), jnp.float32)
-        f = jnp.concatenate([d3, cx, cy, cz, o3, ones, zeros],
-                            axis=0)                       # (12, 256)
-
-        tmax = tmax_ref[tp, 0, 0]
-
-        def leaf_dma(sb, i, slot):
+    def issue(sb, slot):
+        def one(i, _):
             ki = sb * _LPB + i
-            leaf = jnp.minimum(keys_ref[tp, 0, ki] & ((1 << leaf_bits) - 1),
-                               max_leaf_row)
-            return pltpu.make_async_copy(
-                gtab_ref.at[pl.ds(leaf * 4, 4), :],
-                buf_ref.at[pl.ds(slot * TRI_BLK + i * 4, 4), :],
-                sem_ref.at[slot, i],
-            )
+            live_k = (ki < count) & (keys_ref[0, 0, ki] != _I32MAX)
 
-        def issue(sb, slot):
-            def one(i, _):
-                ki = sb * _LPB + i
-                live_k = (ki < count) & (keys_ref[tp, 0, ki] != _I32MAX)
-
-                @pl.when(live_k)
-                def _():
-                    leaf_dma(sb, i, slot).start()
-
-                @pl.when((ki < count) & jnp.logical_not(live_k))
-                def _():
-                    # dead slot: zero rows (det = 0 -> never hits)
-                    buf_ref[pl.ds(slot * TRI_BLK + i * 4, 4), :] = jnp.zeros(
-                        (4, buf_ref.shape[1]), jnp.float32)
-                return 0
-            lax.fori_loop(0, _LPB, one, 0)
-
-        def drain(sb, slot):
-            def one(i, _):
-                ki = sb * _LPB + i
-
-                @pl.when((ki < count) & (keys_ref[tp, 0, ki] != _I32MAX))
-                def _():
-                    leaf_dma(sb, i, slot).wait()
-                return 0
-            lax.fori_loop(0, _LPB, one, 0)
-
-        @pl.when(nsb > 0)
-        def _():
-            issue(0, 0)
-
-        def cond(state):
-            return state[1]
-
-        def body(state):
-            sb, _, best_t, best_i = state[:4]
-            slot = lax.rem(sb, 2)
-            drain(sb, slot)
-            # issue the next super-block BEFORE computing this one
-            # (overlap); gate with the pre-compute t_far so issued ==
-            # drained even when this block's hits would have culled it
-            t_far = jnp.max(best_t)
-            gate_n = lbg_ref[tp, 0, jnp.minimum(sb + 1, nb - 1)]
-            # NaN-safe: a NaN gate (degenerate tile: non-finite ray data
-            # makes maxd NaN) must PASS, not stop the walk — `gate <=
-            # t_far` is False for NaN and silently truncated live tiles
-            # (missed shadow hits)
-            nxt = (sb + 1 < nsb) & jnp.logical_not(gate_n > t_far)
-            if any_hit:
-                # occlusion query: a ray is done at ANY hit below tmax, so
-                # the tile stops once every ray's best t dropped below the
-                # cutoff
-                nxt = nxt & (t_far >= tmax)
-
-            @pl.when(nxt)
+            @pl.when(live_k)
             def _():
-                issue(sb + 1, 1 - slot)
+                leaf_dma(sb, i, slot).start()
 
-            off = pl.multiple_of(slot * TRI_BLK, TRI_BLK)
-            g = buf_ref[pl.ds(off, TRI_BLK), :]           # (128, 128)
-            if prec == "vpu":
-                # depth-12 "matmuls" as 48 broadcast FMAs on the VPU: the
-                # MXU runs K=12 dots at ~9% depth utilization and f32
-                # needs 6 bf16 passes (HIGHEST) for exactness — the VPU
-                # does the same work in native f32 with no precision hack
-                det = jnp.zeros((TRI_BLK, TILE), jnp.float32)
-                up = jnp.zeros((TRI_BLK, TILE), jnp.float32)
-                vp = jnp.zeros((TRI_BLK, TILE), jnp.float32)
-                tq = jnp.zeros((TRI_BLK, TILE), jnp.float32)
-                for kk in range(12):
-                    fk = f[kk:kk + 1, :]                  # (1, 256)
-                    det = det + g[:, kk:kk + 1] * fk
-                    up = up + g[:, 12 + kk:13 + kk] * fk
-                    vp = vp + g[:, 24 + kk:25 + kk] * fk
-                    tq = tq + g[:, 36 + kk:37 + kk] * fk
-            else:
-                # see _mt_kernel: >= HIGH precision or the MXU's bf16
-                # passes manufacture hits on edge-adjacent rays
-                det = jnp.dot(g[:, 0:12], f,
-                              preferred_element_type=jnp.float32,
-                              precision=prec)
-                up = jnp.dot(g[:, 12:24], f,
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
-                vp = jnp.dot(g[:, 24:36], f,
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
-                tq = jnp.dot(g[:, 36:48], f,
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
-            s = jnp.where(det >= 0, 1.0, -1.0)
-            ad = det * s
-            us = up * s
-            vs = vp * s
-            ts = tq * s
-            live = (sb * TRI_BLK + rows) < count * 4
-            hit = (us >= 0) & (vs >= 0) & (us + vs <= ad) & (ts > 0) & (
-                ad > 0)
-            if omap_s:
-                # opacity-micromap alpha test (≙ tiny_bvh.h:8514-8522):
-                # the S*S bit grid rides in lanes 48.. of the same G rows,
-                # 16 bits per f32 word (exact under float->int conversion)
-                S = omap_s
-                inv_ad = 1.0 / jnp.where(ad > 0, ad, 1.0)
-                iu = jnp.clip((us * inv_ad * S).astype(jnp.int32), 0, S - 1)
-                iv = jnp.clip((vs * inv_ad * S).astype(jnp.int32), 0, S - 1)
-                b = iu * S + iv                          # (128, 256)
-                nw = (S * S + 15) // 16
-                word = jnp.zeros_like(b)
-                for w in range(nw):
-                    gw = g[:, 48 + w:49 + w].astype(jnp.int32)   # (128, 1)
-                    word = jnp.where((b >> 4) == w, gw, word)
-                hit = hit & (((word >> (b & 15)) & 1) > 0)
-            inv_ad2 = 1.0 / jnp.where(ad > 0, ad, 1.0)
-            tt = jnp.where(hit & live, ts * inv_ad2, BVH_FAR)
-            m = jnp.min(tt, axis=0).reshape(1, TILE)
-            am = jnp.argmin(tt, axis=0).astype(jnp.int32).reshape(1, TILE)
-            # barycentrics of the argmin row via one-hot select —
-            # recovering u/v here kills the XLA post-pass that
-            # re-intersected winners (per-ray gathers of 3x(4L,3) tables
-            # + a second MT)
-            oh = (rows == am)                             # (128, 256)
-            u_blk = jnp.sum(jnp.where(oh, us * inv_ad2, 0.0), axis=0,
-                            keepdims=True)
-            v_blk = jnp.sum(jnp.where(oh, vs * inv_ad2, 0.0), axis=0,
-                            keepdims=True)
-            # winner's global prim id from the G-row payload lane (same
-            # one-hot trick as u/v): the wrapper needs no leaf_prim gather
-            gp = lax.bitcast_convert_type(g[:, pcol:pcol + 1], jnp.int32)
-            p_blk = jnp.sum(jnp.where(oh, gp, 0), axis=0, keepdims=True)
-            better = m < best_t
-            best_t = jnp.where(better, m, best_t)
-            best_i = jnp.where(better, sb * TRI_BLK + am, best_i)
-            best_u = jnp.where(better, u_blk, state[4])
-            best_v = jnp.where(better, v_blk, state[5])
-            best_p = jnp.where(better, p_blk, state[6])
-            return sb + 1, nxt, best_t, best_i, best_u, best_v, best_p
+            @pl.when((ki < count) & jnp.logical_not(live_k))
+            def _():
+                # dead slot: zero rows (det = 0 -> never hits)
+                buf_ref[pl.ds(slot * TRI_BLK + i * 4, 4), :] = jnp.zeros(
+                    (4, buf_ref.shape[1]), jnp.float32)
+            return 0
+        lax.fori_loop(0, _LPB, one, 0)
 
-        init = (jnp.int32(0), nsb > 0,
-                jnp.zeros((1, TILE), jnp.float32) + tmax,
-                jnp.zeros((1, TILE), jnp.int32),
-                jnp.zeros((1, TILE), jnp.float32),
-                jnp.zeros((1, TILE), jnp.float32),
-                jnp.full((1, TILE), -1, jnp.int32))
-        (_, _, best_t, best_i, best_u, best_v,
-         best_p) = lax.while_loop(cond, body, init)
-        out_ref[tp, 0:1, :] = best_t
-        out_ref[tp, 1:2, :] = best_u
-        out_ref[tp, 2:3, :] = best_v
-        out_ref[tp, 3:4, :] = lax.bitcast_convert_type(best_i, jnp.float32)
-        out_ref[tp, 4:5, :] = lax.bitcast_convert_type(best_p, jnp.float32)
+    def drain(sb, slot):
+        def one(i, _):
+            ki = sb * _LPB + i
 
-    for tp in range(_TPB):
-        tile(tp)
+            @pl.when((ki < count) & (keys_ref[0, 0, ki] != _I32MAX))
+            def _():
+                leaf_dma(sb, i, slot).wait()
+            return 0
+        lax.fori_loop(0, _LPB, one, 0)
+
+    @pl.when(nsb > 0)
+    def _():
+        issue(0, 0)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        sb, _, best_t, best_i = state[:4]
+        slot = lax.rem(sb, 2)
+        drain(sb, slot)
+        # issue the next super-block BEFORE computing this one (overlap);
+        # gate with the pre-compute t_far so issued == drained even when
+        # this block's hits would have culled it (conservative)
+        t_far = jnp.max(best_t)
+        gate_n = lbg_ref[0, 0, jnp.minimum(sb + 1, nb - 1)]
+        # NaN-safe: a NaN gate (degenerate tile: non-finite ray data makes
+        # maxd NaN) must PASS, not stop the walk — `gate <= t_far` is False
+        # for NaN and silently truncated live tiles (missed shadow hits)
+        nxt = (sb + 1 < nsb) & jnp.logical_not(gate_n > t_far)
+        if any_hit:
+            # occlusion query: a ray is done at ANY hit below tmax, so the
+            # tile stops once every ray's best t dropped below the cutoff
+            nxt = nxt & (t_far >= tmax)
+
+        @pl.when(nxt)
+        def _():
+            issue(sb + 1, 1 - slot)
+
+        off = pl.multiple_of(slot * TRI_BLK, TRI_BLK)
+        g = buf_ref[pl.ds(off, TRI_BLK), :]               # (128, 48)
+        if prec == "vpu":
+            # depth-12 "matmuls" as 48 broadcast FMAs on the VPU: the MXU
+            # runs K=12 dots at ~9% depth utilization and f32 needs 6 bf16
+            # passes (HIGHEST) for exactness — the VPU does the same work
+            # in native f32 with no precision hack
+            det = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            up = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            vp = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            tp = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            for kk in range(12):
+                fk = f[kk:kk + 1, :]                      # (1, 256)
+                det = det + g[:, kk:kk + 1] * fk
+                up = up + g[:, 12 + kk:13 + kk] * fk
+                vp = vp + g[:, 24 + kk:25 + kk] * fk
+                tp = tp + g[:, 36 + kk:37 + kk] * fk
+        else:
+            # see _mt_kernel: >= HIGH precision or the MXU's bf16 passes
+            # manufacture hits on edge-adjacent rays
+            det = jnp.dot(g[:, 0:12], f, preferred_element_type=jnp.float32,
+                          precision=prec)
+            up = jnp.dot(g[:, 12:24], f, preferred_element_type=jnp.float32,
+                         precision=prec)
+            vp = jnp.dot(g[:, 24:36], f, preferred_element_type=jnp.float32,
+                         precision=prec)
+            tp = jnp.dot(g[:, 36:48], f, preferred_element_type=jnp.float32,
+                         precision=prec)
+        s = jnp.where(det >= 0, 1.0, -1.0)
+        ad = det * s
+        us = up * s
+        vs = vp * s
+        ts = tp * s
+        live = (sb * TRI_BLK + rows) < count * 4
+        hit = (us >= 0) & (vs >= 0) & (us + vs <= ad) & (ts > 0) & (ad > 0)
+        if omap_s:
+            # opacity-micromap alpha test (≙ tiny_bvh.h:8514-8522): the
+            # S*S bit grid rides in lanes 48.. of the same G rows, 16 bits
+            # per f32 word (exact under float->int conversion)
+            S = omap_s
+            inv_ad = 1.0 / jnp.where(ad > 0, ad, 1.0)
+            iu = jnp.clip((us * inv_ad * S).astype(jnp.int32), 0, S - 1)
+            iv = jnp.clip((vs * inv_ad * S).astype(jnp.int32), 0, S - 1)
+            b = iu * S + iv                          # (128, 256)
+            nw = (S * S + 15) // 16
+            word = jnp.zeros_like(b)
+            for w in range(nw):
+                gw = g[:, 48 + w:49 + w].astype(jnp.int32)   # (128, 1)
+                word = jnp.where((b >> 4) == w, gw, word)
+            hit = hit & (((word >> (b & 15)) & 1) > 0)
+        inv_ad2 = 1.0 / jnp.where(ad > 0, ad, 1.0)
+        tt = jnp.where(hit & live, ts * inv_ad2, BVH_FAR)
+        m = jnp.min(tt, axis=0).reshape(1, TILE)
+        am = jnp.argmin(tt, axis=0).astype(jnp.int32).reshape(1, TILE)
+        # barycentrics of the argmin row via one-hot select — recovering
+        # u/v here kills the XLA post-pass that re-intersected winners
+        # (per-ray gathers of 3x(4L,3) tables + a second MT)
+        oh = (rows == am)                                  # (128, 256)
+        u_blk = jnp.sum(jnp.where(oh, us * inv_ad2, 0.0), axis=0,
+                        keepdims=True)
+        v_blk = jnp.sum(jnp.where(oh, vs * inv_ad2, 0.0), axis=0,
+                        keepdims=True)
+        # winner's global prim id from the G-row payload lane (same
+        # one-hot trick as u/v): the wrapper needs no leaf_prim gather
+        pcol = 48 + ((omap_s * omap_s + 15) // 16 if omap_s else 0)
+        gp = lax.bitcast_convert_type(g[:, pcol:pcol + 1], jnp.int32)
+        p_blk = jnp.sum(jnp.where(oh, gp, 0), axis=0, keepdims=True)
+        better = m < best_t
+        best_t = jnp.where(better, m, best_t)
+        best_i = jnp.where(better, sb * TRI_BLK + am, best_i)
+        best_u = jnp.where(better, u_blk, state[4])
+        best_v = jnp.where(better, v_blk, state[5])
+        best_p = jnp.where(better, p_blk, state[6])
+        return sb + 1, nxt, best_t, best_i, best_u, best_v, best_p
+
+    init = (jnp.int32(0), nsb > 0,
+            jnp.zeros((1, TILE), jnp.float32) + tmax,
+            jnp.zeros((1, TILE), jnp.int32),
+            jnp.zeros((1, TILE), jnp.float32),
+            jnp.zeros((1, TILE), jnp.float32),
+            jnp.full((1, TILE), -1, jnp.int32))
+    (_, _, best_t, best_i, best_u, best_v,
+     best_p) = lax.while_loop(cond, body, init)
+    t_ref[0, 0, :] = best_t[0]
+    i_ref[0, 0, :] = best_i[0]
+    u_ref[0, 0, :] = best_u[0]
+    v_ref[0, 0, :] = best_v[0]
+    p_ref[0, 0, :] = best_p[0]
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
@@ -878,57 +842,48 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     barycentrics; prim the winner's global prim id (-1 = miss)."""
     T = keys.shape[0]
     nb = lbg.shape[2]
-    Tp = -(-T // _TPB) * _TPB
-    if Tp != T:
-        pad = Tp - T
-        keys = jnp.concatenate(
-            [keys, jnp.full((pad, k_cap), _I32MAX, jnp.int32)], axis=0)
-        counts = jnp.concatenate(
-            [counts, jnp.zeros((pad,), counts.dtype)], axis=0)
-        lbg = jnp.concatenate(
-            [lbg, jnp.full((pad, 1, nb), jnp.inf, jnp.float32)], axis=0)
-        tmax = jnp.concatenate(
-            [tmax, jnp.zeros((pad, 1), jnp.float32)], axis=0)
-        o_t = jnp.concatenate(
-            [o_t, jnp.zeros((pad, 3, TILE), jnp.float32)], axis=0)
-        d_t = jnp.concatenate(
-            [d_t, jnp.zeros((pad, 3, TILE), jnp.float32)], axis=0)
-    od = jnp.concatenate(
-        [o_t, d_t, jnp.zeros((Tp, 2, TILE), jnp.float32)], axis=1)
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions; "vpu"
     # bypasses the MXU entirely (exact f32 broadcast FMAs)
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
-    out = pl.pallas_call(
+    t_out, i_out, u_out, v_out, p_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
                 any_hit=any_hit, leaf_bits=leaf_bits),
-        grid=(Tp // _TPB,),
+        grid=(T,),
         in_specs=[
-            pl.BlockSpec((_TPB, 1, k_cap), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, k_cap), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TPB, 1, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TPB, 1, nb), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TPB, 1, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TPB, 8, TILE), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_shape=jax.ShapeDtypeStruct((Tp, 8, TILE), jnp.float32),
-        out_specs=pl.BlockSpec((_TPB, 8, TILE), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
+        ),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(5)),
         scratch_shapes=[
             pltpu.VMEM((2 * TRI_BLK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _LPB)),
         ],
         interpret=interpret,
-    )(keys.reshape(Tp, 1, k_cap), counts.reshape(Tp, 1, 1), lbg,
-      tmax.reshape(Tp, 1, 1), od, gtab_flat)
-    out = out[:T]
-    return (out[:, 0, :], lax.bitcast_convert_type(out[:, 3, :], jnp.int32),
-            out[:, 1, :], out[:, 2, :],
-            lax.bitcast_convert_type(out[:, 4, :], jnp.int32))
+    )(keys.reshape(T, 1, k_cap), counts.reshape(T, 1, 1), lbg,
+      tmax.reshape(T, 1, 1), o_t, d_t, gtab_flat)
+    return (t_out.reshape(T, TILE), i_out.reshape(T, TILE),
+            u_out.reshape(T, TILE), v_out.reshape(T, TILE),
+            p_out.reshape(T, TILE))
 
 
 # --------------------------------------------------------------------------
