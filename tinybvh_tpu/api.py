@@ -324,6 +324,7 @@ class TLAS:
         from tinybvh_tpu.tlas.instance import build_tlas
 
         raw = []
+        host8s = []
         for b in blases:
             if isinstance(b, BVH):
                 if b.bvh8 is None:
@@ -331,11 +332,16 @@ class TLAS:
                         "TLAS BLASes need the bvh8 layout (max_leaf <= 4)"
                     )
                 raw.append(b.bvh8)
+                host8s.append(b._bvh8_host)
             elif isinstance(b, BVH8):
                 raw.append(b)
+                host8s.append(None)
             else:
                 raise TypeError(f"not a BLAS: {type(b)}")
-        self._impl = build_tlas(raw, transforms, masks)
+        # host copies let the numpy TLAS merge skip per-BLAS D2H readbacks
+        self._impl = build_tlas(
+            raw, transforms, masks,
+            host8s=host8s if all(h is not None for h in host8s) else None)
         self.blases = blases
 
     def intersect(self, rays: Rays, t_max=BVH_FAR):

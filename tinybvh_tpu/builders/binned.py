@@ -53,7 +53,8 @@ def build_binned(
     c_int: float = C_INT,
     max_leaf: int | None = None,
     strategy: str = "sah",
-) -> BVH2:
+    return_host: bool = False,
+):
     """Build a BVH2 over (N, 3, 3) triangles.
 
     strategy='sah'    : binned SAH (≙ BVH::Build, tiny_bvh.h:2332-2461)
@@ -69,7 +70,7 @@ def build_binned(
     return build_binned_aabbs(
         tris.min(axis=1), tris.max(axis=1),
         bins=bins, c_trav=c_trav, c_int=c_int, max_leaf=max_leaf,
-        strategy=strategy,
+        strategy=strategy, return_host=return_host,
     )
 
 
@@ -81,7 +82,8 @@ def build_binned_aabbs(
     c_int: float = C_INT,
     max_leaf: int | None = None,
     strategy: str = "sah",
-) -> BVH2:
+    return_host: bool = False,
+):
     """Build a BVH2 over raw (N, 3) AABBs — the custom-AABB / TLAS entry
     point (≙ BVH::Build(aabbs, …) tiny_bvh.h:2151-2189 and the TLAS build
     tiny_bvh.h:2221-2259, which runs the same binned builder over instance
@@ -269,7 +271,7 @@ def build_binned_aabbs(
     leaf_ids, starts = np.unique(frag_node[order], return_index=True)
     left_first[leaf_ids] = starts
 
-    return BVH2(
+    out = BVH2(
         node_min=jnp.asarray(node_min),
         node_max=jnp.asarray(node_max),
         left_first=jnp.asarray(left_first, jnp.int32),
@@ -277,6 +279,17 @@ def build_binned_aabbs(
         prim_idx=jnp.asarray(order, jnp.int32),
         n_nodes=jnp.asarray(n_used, jnp.int32),
     )
+    if return_host:
+        # numpy copies the builder already holds: callers feeding the
+        # host collapse/aux path avoid device readbacks (D2H through
+        # the tunnel backend costs minutes per MB)
+        host = dict(node_min=node_min, node_max=node_max,
+                    left_first=left_first.astype(np.int32),
+                    count=count.astype(np.int32),
+                    prim_idx=order.astype(np.int32),
+                    n_nodes=int(n_used))
+        return out, host
+    return out
 
 
 def _apply_level(

@@ -444,7 +444,12 @@ class Scene:
             used = sorted({m for m, _ in instances})
             remap = {m: i for i, m in enumerate(used)}
             pairs = [(remap[m], w) for m, w in instances]
-            self._tlas = build_tlas([self._blas[m] for m in used], pairs)
+            bh = getattr(self, "_blas_host", {})
+            host8s = [bh.get(m) for m in used]
+            self._tlas = build_tlas(
+                [self._blas[m] for m in used], pairs,
+                host8s=host8s if all(h is not None for h in host8s)
+                else None)
             self._tlas_meshes = used
         return self
 
@@ -486,8 +491,22 @@ class Scene:
         # once and never updated even if the mesh deforms (matches the
         # documented BVH_STATIC semantics, tiny_scene.h:106-110)
         if mid not in self._blas or (deformed and policy == "dynamic"):
-            bvh2 = build_binned(mesh.tris, max_leaf=4)
-            self._blas[mid] = collapse_bvh2(bvh2, mesh.tris)
+            # host copies end-to-end: collapse/aux from device arrays
+            # would pay D2H readbacks (minutes/MB through the tunnel)
+            bvh2, host = build_binned(mesh.tris, max_leaf=4,
+                                      return_host=True)
+            h8 = collapse_bvh2(bvh2, np.asarray(mesh.tris, np.float32),
+                               host=host, as_host=True)
+            from tinybvh_tpu.layouts.mbvh import BVH8
+
+            self._blas[mid] = BVH8(
+                bounds=jnp.asarray(h8["bounds"]),
+                child=jnp.asarray(h8["child"]),
+                leaf_tris=jnp.asarray(h8["leaf_tris"]),
+                leaf_prim=jnp.asarray(h8["leaf_prim"]),
+            )
+            self._blas_host = getattr(self, "_blas_host", {})
+            self._blas_host[mid] = h8
             self._blas_meta = getattr(self, "_blas_meta", {})
             self._blas_meta[mid] = bvh2
         elif deformed and policy == "rigid":
@@ -500,6 +519,8 @@ class Scene:
             bvh2 = refit(bvh2, packed, leaf_max=4)
             self._blas_meta[mid] = bvh2
             self._blas[mid] = collapse_bvh2(bvh2, mesh.tris)
+            # the device-refit collapse has no host twin
+            getattr(self, "_blas_host", {}).pop(mid, None)
 
     # -- tracing ----------------------------------------------------------
     def intersect(self, rays, t_max=1e30):

@@ -54,12 +54,18 @@ class TLAS8:
     n_leaf_rows: int = struct.field(pytree_node=False)
 
 
-def build_tlas(blases, transforms, masks=None, builder=None) -> TLAS8:
+def build_tlas(blases, transforms, masks=None, builder=None,
+               host8s=None) -> TLAS8:
     """Build a TLAS8 from BVH8 BLASes + per-instance 4x4 transforms.
 
     blases: list of BVH8 (from layouts.mbvh.collapse_bvh2) — instances index
     into this list via blas_ids; transforms: (I, 4, 4) or list of
     (blas_id, transform) pairs.
+
+    host8s: optional list of host-array dicts aligned with blases
+    (collapse_bvh2 as_host). The merge below is host-side numpy; without
+    host copies every BLAS array pays a device->host readback, which
+    costs minutes per MB through the tunnel backend.
     """
     from tinybvh_tpu.builders.binned import build_binned_aabbs
 
@@ -80,18 +86,19 @@ def build_tlas(blases, transforms, masks=None, builder=None) -> TLAS8:
     bounds_list, child_list, ltris, lprim = [], [], [], []
     n_nodes = 0
     n_leaves = 0
-    for b in blases:
+    for bi, b in enumerate(blases):
+        h = host8s[bi] if host8s is not None else None
         node_off.append(n_nodes)
         leaf_off.append(n_leaves)
-        bounds_list.append(np.asarray(b.bounds))
-        ch = np.asarray(b.child).copy()
+        bounds_list.append(h["bounds"] if h else np.asarray(b.bounds))
+        ch = (h["child"] if h else np.asarray(b.child)).copy()
         ch = np.where(
             ch == EMPTY_SLOT, ch,
             np.where(ch >= 0, ch + n_nodes, ch - n_leaves),
         )
         child_list.append(ch)
-        ltris.append(np.asarray(b.leaf_tris))
-        lprim.append(np.asarray(b.leaf_prim))
+        ltris.append(h["leaf_tris"] if h else np.asarray(b.leaf_tris))
+        lprim.append(h["leaf_prim"] if h else np.asarray(b.leaf_prim))
         n_nodes += b.n_nodes
         n_leaves += b.n_leaves
 
@@ -100,26 +107,35 @@ def build_tlas(blases, transforms, masks=None, builder=None) -> TLAS8:
         [node_off[blas_ids[i]] for i in range(I)], np.int32
     )
     blas_lo = np.stack([
-        np.asarray(blases[blas_ids[i]].bounds[0]).reshape(6, 8)[:3].min(1)
+        bounds_list[blas_ids[i]][0].reshape(6, 8)[:3].min(1)
         for i in range(I)
     ])
     blas_hi = np.stack([
-        np.asarray(blases[blas_ids[i]].bounds[0]).reshape(6, 8)[3:].max(1)
+        bounds_list[blas_ids[i]][0].reshape(6, 8)[3:].max(1)
         for i in range(I)
     ])
-    wlo, whi = transform_aabb(
-        jnp.asarray(mats), jnp.asarray(blas_lo), jnp.asarray(blas_hi)
-    )
-    wlo, whi = np.asarray(wlo), np.asarray(whi)
+    # numpy twin of core.vecmath.transform_aabb (center' ± |A|·extent):
+    # a device round-trip here would cost an eager-op compile + D2H
+    cc = (blas_lo + blas_hi) * 0.5
+    ee = (blas_hi - blas_lo) * 0.5
+    a3 = mats[:, :3, :3]
+    c2 = np.einsum("ijk,ik->ij", a3, cc) + mats[:, :3, 3]
+    e2 = np.einsum("ijk,ik->ij", np.abs(a3), ee)
+    wlo, whi = c2 - e2, c2 + e2
 
-    tlas2 = (builder or partial(build_binned_aabbs, max_leaf=1))(wlo, whi)
-
-    # ---- collapse TLAS BVH2 to 8-wide with instance child words ----------
-    mn = np.asarray(tlas2.node_min)
-    mx = np.asarray(tlas2.node_max)
-    lf = np.asarray(tlas2.left_first)
-    ct = np.asarray(tlas2.count)
-    pidx = np.asarray(tlas2.prim_idx)
+    if builder is None:
+        tlas2, th = build_binned_aabbs(wlo, whi, max_leaf=1,
+                                       return_host=True)
+        mn, mx = th["node_min"], th["node_max"]
+        lf, ct = th["left_first"], th["count"]
+        pidx = th["prim_idx"]
+    else:
+        tlas2 = builder(wlo, whi)
+        mn = np.asarray(tlas2.node_min)
+        mx = np.asarray(tlas2.node_max)
+        lf = np.asarray(tlas2.left_first)
+        ct = np.asarray(tlas2.count)
+        pidx = np.asarray(tlas2.prim_idx)
     L = n_leaves
 
     def inst_code(i):

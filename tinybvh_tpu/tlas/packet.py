@@ -63,10 +63,16 @@ class TLASPacket:
 
 
 def build_tlas_packet(blases, transforms, masks=None,
-                      omaps=None) -> TLASPacket:
+                      omaps=None, host8s=None) -> TLASPacket:
     """blases: list[BVH8]; transforms: (I, 4, 4) array (all instancing
     blases[0]) or list of (blas_id, mat4) pairs — same convention as
-    tlas.instance.build_tlas."""
+    tlas.instance.build_tlas.
+
+    host8s: optional list of host-array dicts (collapse_bvh2 as_host,
+    kept by api.BVH as _bvh8_host) aligned with blases. When given, the
+    per-BLAS packet tables build in numpy (no per-shape remote compile)
+    and the prim tables read host memory instead of paying a D2H
+    readback of leaf_tris (minutes/MB through the tunnel backend)."""
     tlas = build_tlas(blases, transforms, masks=masks)
     if isinstance(transforms, (list, tuple)) and transforms and isinstance(
         transforms[0], tuple
@@ -76,15 +82,27 @@ def build_tlas_packet(blases, transforms, masks=None,
     else:
         mats = np.asarray(transforms, np.float32)
         blas_of = tuple(0 for _ in range(mats.shape[0]))
-    auxes = tuple(
-        build_packet_aux(b, omap=None if omaps is None else omaps[i])
-        for i, b in enumerate(blases))
+    if host8s is not None:
+        from tinybvh_tpu.traverse.packet2 import build_packet_aux_host
+
+        auxes = tuple(
+            build_packet_aux_host(
+                h, omap=None if omaps is None else np.asarray(omaps[i]))
+            for i, h in enumerate(host8s))
+    else:
+        auxes = tuple(
+            build_packet_aux(b, omap=None if omaps is None else omaps[i])
+            for i, b in enumerate(blases))
     # prim -> BLAS-space triangle tables (scatter leaves back by prim id)
     tabs, blas_base = [], []
     base = 0
-    for b in blases:
-        lp = np.asarray(b.leaf_prim).reshape(-1)
-        lt = np.asarray(b.leaf_tris).reshape(-1, 3, 3)
+    for i, b in enumerate(blases):
+        if host8s is not None:
+            lp = host8s[i]["leaf_prim"].reshape(-1)
+            lt = host8s[i]["leaf_tris"].reshape(-1, 3, 3)
+        else:
+            lp = np.asarray(b.leaf_prim).reshape(-1)
+            lt = np.asarray(b.leaf_tris).reshape(-1, 3, 3)
         n = int(lp.max()) + 1 if lp.size else 0
         tab = np.zeros((n, 3, 3), np.float32)
         ok = lp >= 0
@@ -97,7 +115,10 @@ def build_tlas_packet(blases, transforms, masks=None,
         tlas=tlas,
         blases=tuple(blases),
         auxes=auxes,
-        inst_inv=jnp.asarray(np.asarray(mat4_inverse(jnp.asarray(mats)))),
+        # host inverse (f64 for conditioning): the previous device
+        # mat4_inverse + np.asarray paid an eager-op compile and a D2H
+        inst_inv=jnp.asarray(
+            np.linalg.inv(mats.astype(np.float64)).astype(np.float32)),
         inst_mask=tlas.inst_mask,
         prim_tris=jnp.asarray(np.concatenate(tabs, axis=0)),
         prim_off=jnp.asarray(prim_off),
