@@ -201,10 +201,16 @@ class BVH:
             from tinybvh_tpu.traverse.packet2 import (
                 intersect_packets2_sorted,
             )
+            from tinybvh_tpu.tuning import get_tuning
 
+            # per-generation kernel parameters (≙ the reference's vendor
+            # #define specialization, tiny_ocl.h:366-369)
+            tun = get_tuning()
             lo, hi = self.aabb
             h, _ = intersect_packets2_sorted(
                 self.bvh8, self.packet_aux, rays, lo, hi,
+                max_leaves=tun.max_leaves,
+                wf_cap_factor=tun.wf_cap_factor,
                 interpret=jax.default_backend() != "tpu",
                 t_max_static=float(t_max))
             return h
