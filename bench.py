@@ -290,9 +290,12 @@ def bench_scene(tris, name, ref_entry=None,
         drays = Rays(o=do_dev, d=dd_dev, rd=rd_dev, mask=mask_dev)
 
         def diffuse():
+            # max_blocks matches the primary/shadow phases: bounce-ray
+            # tiles sweep wide frusta and overflowed 43% of rays at the
+            # previous 128 default worklist
             return intersect_packets2_sorted(
                 bvh.bvh8, aux, drays, lo_dev, hi_dev, max_leaves=512,
-                t_max_static=1e30, retrace=False)
+                t_max_static=1e30, retrace=False, max_blocks=max_blocks)
 
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)

@@ -23,3 +23,16 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop XLA executables between test modules.
+
+    A single pytest process accumulates hundreds of CPU-backend
+    executables across the suite; jaxlib's compiler has intermittently
+    segfaulted near the end of such runs (observed twice at ~85%, in
+    different tests, each fine in isolation). Modules rarely share
+    compiled shapes, so clearing costs little wall time."""
+    yield
+    jax.clear_caches()

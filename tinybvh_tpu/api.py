@@ -209,7 +209,7 @@ class BVH:
             lo, hi = self.aabb
             h, _ = intersect_packets2_sorted(
                 self.bvh8, self.packet_aux, rays, lo, hi,
-                max_leaves=tun.max_leaves,
+                max_leaves=tun.max_leaves, max_blocks=tun.max_blocks,
                 wf_cap_factor=tun.wf_cap_factor,
                 interpret=jax.default_backend() != "tpu",
                 t_max_static=float(t_max))

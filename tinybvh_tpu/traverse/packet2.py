@@ -315,7 +315,13 @@ def _frustum_pass(desc, lo, hi):
 def _cull_blocks_kernel(desc_ref, blo_ref, bhi_ref,
                         mask_ref, *, n_blocks):
     """K1a: coarse tier — which 128-leaf blocks' union boxes intersect ANY
-    of the group's TB tile frusta. Pure vector math, no branches."""
+    of the group's TB tile frusta. Pure vector math, no branches.
+
+    NOT on the production path: cull_tiles runs this tier as fused XLA
+    (the Pallas version was grid-step-overhead-bound at ~20 us/step —
+    4 ms on bunny for ~20 us of math). Kept for the probe harnesses
+    (benchmarks/packet2_probe.py, cull_stage_probe.py) that measure the
+    two implementations against each other."""
     nbl = blo_ref.shape[1] // LANES
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     desc = desc_ref[:, :]
@@ -1168,15 +1174,22 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
-                                   "wf_cap_factor", "any_hit", "t_max_static"))
+                                   "wf_cap_factor", "any_hit", "t_max_static",
+                                   "max_blocks"))
 def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
                               scene_lo, scene_hi, max_leaves: int = 256,
                               interpret: bool = False, retrace: bool = True,
                               wf_cap_factor: int = 8, any_hit: bool = False,
-                              t_max_static: float = BVH_FAR):
+                              t_max_static: float = BVH_FAR,
+                              max_blocks: int = 128):
     """Packet trace v2 for INCOHERENT rays: coherence-sort into tiles
     (direction cell + origin morton), trace, scatter back to input order.
-    Returns (Hits in input order, per-ray fallback mask)."""
+    Returns (Hits in input order, per-ray fallback mask).
+
+    max_blocks: cull worklist depth — incoherent tiles sweep wider frusta
+    than camera tiles, so callers tracing bounce rays should pass the
+    same deepened worklist they use for shadow bundles (the bench's
+    diffuse phase overflowed 43% of its rays at the 128 default)."""
     from tinybvh_tpu.traverse.packet import sort_rays_coherent
 
     R = rays.o.shape[0]
@@ -1188,7 +1201,7 @@ def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
     hits, overflow = intersect_packets2(
         bvh8, aux, rs, max_leaves=max_leaves, interpret=interpret,
         retrace=retrace, wf_cap_factor=wf_cap_factor, any_hit=any_hit,
-        t_max=t_max_static)
+        t_max=t_max_static, max_blocks=max_blocks)
     ov_ray = jnp.repeat(overflow, TILE)[inverse]
     return Hits(t=hits.t[inverse], u=hits.u[inverse], v=hits.v[inverse],
                 prim=hits.prim[inverse], inst=hits.inst[inverse]), ov_ray
