@@ -96,7 +96,14 @@ def main():
     base = built["binned SAH"]
     packed = pack_tris(base, jnp.asarray(tris))
     leaf_max = int(np.asarray(base.count).max())
-    bvh8 = collapse_bvh2(base, tris)
+    # the wide layout + packet tables ride api.BVH's all-host build path
+    # (native C binned SAH -> numpy collapse/aux -> one H2D upload);
+    # collapse_bvh2 straight off the device `base` would read every
+    # node array back through the tunnel (D2H costs minutes per MB)
+    from tinybvh_tpu.api import BVH as _ApiBVH
+
+    _api = _ApiBVH(np.asarray(tris, np.float32))
+    bvh8 = _api.bvh8 if _api.bvh8 is not None else collapse_bvh2(base, tris)
 
     # ---------------- refit ---------------------------------------------
     plan = refit_plan(base)
@@ -206,7 +213,8 @@ def main():
             build_packet_aux, intersect_packets2,
         )
 
-        aux = build_packet_aux(bvh8)
+        aux = (_api.packet_aux if _api.bvh8 is not None
+               else build_packet_aux(bvh8))
         bench("BVH8 (packet2)",
               lambda r: intersect_packets2(bvh8, aux, r, max_leaves=256)[0],
               lambda r: is_occluded_wavefront(bvh8, r, shadow_tmax))
