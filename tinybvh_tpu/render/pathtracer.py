@@ -205,17 +205,28 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
             intersect_packets2, intersect_packets2_sorted,
         )
 
+        from tinybvh_tpu.tuning import get_tuning
+
         # compiled Mosaic kernels on TPU; interpret elsewhere (CI)
         interp = jax.default_backend() != "tpu"
         scene_lo = jnp.min(aux.leaf_lo, axis=1)
         scene_hi = jnp.max(aux.leaf_hi, axis=1)
+        # per-generation budgets: bounce/shadow tiles sweep wide frusta
+        # and overflow the 128-deep default worklist (exact either way —
+        # the in-call retrace covers overflow — but the fast kernel
+        # should carry the load)
+        tun = get_tuning()
 
         def extend(cur, bounce):
             if bounce == 0:
                 return intersect_packets2(bvh8, aux, cur,
+                                          max_leaves=tun.max_leaves,
+                                          max_blocks=tun.max_blocks,
                                           interpret=interp)
             h, ov = intersect_packets2_sorted(
-                bvh8, aux, cur, scene_lo, scene_hi, interpret=interp)
+                bvh8, aux, cur, scene_lo, scene_hi,
+                max_leaves=tun.max_leaves, max_blocks=tun.max_blocks,
+                interpret=interp)
             return h, ov.any()
 
         def occl_seg(oo, seg):
@@ -223,6 +234,7 @@ def trace_paths(bvh8, scene, rays: Rays, key, bounces: int = 3,
             (any_hit: the tile stops once every ray found an occluder)."""
             h, ov = intersect_packets2_sorted(
                 bvh8, aux, make_rays(oo, seg), scene_lo, scene_hi,
+                max_leaves=tun.max_leaves, max_blocks=tun.max_blocks,
                 interpret=interp, any_hit=True, t_max_static=1.0 - 1e-3)
             return (h.prim >= 0) & (h.t < 1.0 - 1e-3), ov.any()
     tris = scene["tris"]
