@@ -205,6 +205,14 @@ def main():
     bench("BVH8 (wavefront)",
           lambda r: intersect_wavefront(bvh8, r, cap_factor=8)[0],
           lambda r: is_occluded_wavefront(bvh8, r, shadow_tmax))
+    # quantized CWBVH-style layout through the same wavefront engine
+    # (≙ the BVH8_CWBVH row of tiny_bvh_speedtest.cpp:1000-1080)
+    from tinybvh_tpu.layouts.cwbvh import quantize_bvh8
+
+    bvh8q = quantize_bvh8(bvh8)
+    bench("BVH8Q (wavefront)",
+          lambda r: intersect_wavefront(bvh8q, r, cap_factor=8)[0],
+          lambda r: is_occluded_wavefront(bvh8q, r, shadow_tmax))
     if jax.default_backend() != "cpu":
         # packet2: scanline strips of 256 rays are valid "tiles" (any
         # shared-origin coherent bundle works); compiled kernels only —
