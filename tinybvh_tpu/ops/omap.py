@@ -55,11 +55,16 @@ def bake_omap_texture(uv_tri, alpha, S: int = 8,
     return bake_omap(uv_tri.shape[0], alpha_fn, S)
 
 
-def leaf_align(omap, bvh8) -> jnp.ndarray:
+def leaf_align(omap, bvh8, leaf_prim_host=None) -> jnp.ndarray:
     """Reindex (N, S, S) per-primitive maps into the (L, 4, S, S) layout the
     BVH8 leaf loop consumes; padding lanes (prim -1) become opaque=False
-    (they never hit anyway)."""
-    lp = np.asarray(bvh8.leaf_prim)
+    (they never hit anyway).
+
+    leaf_prim_host: optional numpy copy (api.BVH._bvh8_host['leaf_prim'])
+    — without it the reindex reads leaf_prim back from device, which is
+    slow through tunneled backends."""
+    lp = (np.asarray(leaf_prim_host) if leaf_prim_host is not None
+          else np.asarray(bvh8.leaf_prim))
     om = np.asarray(omap)
     out = np.zeros((lp.shape[0], 4) + om.shape[1:], bool)
     valid = lp >= 0
