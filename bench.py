@@ -180,6 +180,7 @@ def bench_scene(tris, name, ref_entry=None,
     except Exception as e:  # pragma: no cover - device-dependent
         out["build_device_error"] = repr(e)[:160]
 
+
     aux = bvh.packet_aux
     jax.block_until_ready(aux.gtab_pad)
 
@@ -451,6 +452,33 @@ def _sub_section(section):
                 out["tlas_packet_mrays"] / out["tlas_wavefront_mrays"], 2)
         except Exception as e:  # pragma: no cover - device-dependent
             out["wavefront_error"] = repr(e)[:160]
+    elif section == "builddev":
+        # on-device binned-SAH builder (builders/binned_jax) in its own
+        # subprocess: its level-loop compile time is unbounded enough
+        # that it must not share a budget with any trace section. The
+        # quality device builder next to the bunny section's LBVH
+        # (≙ the fast-builder role of BuildAVX, tiny_bvh.h:6400-6682).
+        import jax.numpy as jnp
+
+        from tinybvh_tpu.builders.binned_jax import build_binned_device
+
+        n_tris = int(bunny.shape[0])
+        tris_dev = jax.device_put(jnp.asarray(bunny, jnp.float32))
+        jax.block_until_ready(tris_dev)
+        t0 = time.time()
+        b1 = build_binned_device(tris_dev, max_leaf=4)
+        jax.block_until_ready(b1.node_min)
+        out = {"n_tris": n_tris,
+               "binned_jax_compile_s": round(time.time() - t0, 1)}
+        del b1
+        _emit(out)
+
+        def device_build_sah():
+            return build_binned_device(tris_dev, max_leaf=4).node_min
+
+        t = _amortized(device_build_sah, n=4)
+        out["build_device_sah_s"] = round(t, 4)
+        out["build_device_sah_mtris_s"] = round(n_tris / t / 1e6, 3)
     elif section == "drone":
         # glTF scene through the full scene layer (load -> anim/update ->
         # BLAS policies -> TLAS) traced by the two-level wavefront — the
@@ -533,14 +561,15 @@ def main():
     detail = {}
     me = os.path.abspath(__file__)
     only = os.environ.get("BENCH_SECTIONS",
-                          "bunny,grid4,grid16,inst8,drone")
+                          "bunny,grid4,grid16,inst8,drone,builddev")
     # (name, max budget s, min remaining s required to even start)
     # bunny capped at 900 s: with the all-host build path its section is
     # ~350 s (build ~3 s + phase compiles); a runaway compile must not
-    # starve the four later sections
+    # starve the four later sections. builddev runs LAST: its compile
+    # time is the least predictable and its metric the least critical.
     plan = [("bunny", 900, 300), ("grid4", 480, 240),
             ("grid16", 560, 300), ("inst8", 500, 280),
-            ("drone", 420, 200)]
+            ("drone", 420, 200), ("builddev", 420, 150)]
     for section, max_budget, min_need in plan:
         if section not in only:
             continue
