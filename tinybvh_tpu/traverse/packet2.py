@@ -159,6 +159,12 @@ def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
     gtab_pad = jnp.concatenate(
         [gtab.reshape(-1, 48), ow, pid,
          jnp.zeros((4 * L, 127 - 48 - ow.shape[1]), jnp.float32)], axis=1)
+    # one all-zero sentinel leaf row block at the end: dead cull keys DMA
+    # it unconditionally (det = 0 -> never hits), which keeps the fused
+    # kernel's DMA loops branch-free (scalar-loop cost dominates the MT
+    # kernel; see _mt_fused_tile)
+    gtab_pad = jnp.concatenate(
+        [gtab_pad, jnp.zeros((4, gtab_pad.shape[1]), jnp.float32)], axis=0)
     return PacketAux(leaf_lo=lo_p.T, leaf_hi=hi_p.T,
                      blk_lo=blo.T, blk_hi=bhi.T, gtab=gtab,
                      gtab_pad=gtab_pad, center=center,
@@ -239,6 +245,9 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     gtab_pad = np.concatenate(
         [gtab.reshape(-1, 48), ow, pid,
          np.zeros((4 * L, 127 - 48 - ow.shape[1]), np.float32)], axis=1)
+    # zero sentinel leaf row block (see build_packet_aux)
+    gtab_pad = np.concatenate(
+        [gtab_pad, np.zeros((4, gtab_pad.shape[1]), np.float32)], axis=0)
     return PacketAux(leaf_lo=jnp.asarray(lo_p.T.copy()),
                      leaf_hi=jnp.asarray(hi_p.T.copy()),
                      blk_lo=jnp.asarray(blo.T.copy()),
@@ -253,28 +262,48 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
 # K1: dense frustum cull + butterfly compaction
 # --------------------------------------------------------------------------
 
-def _compact_left(vals, lanes2):
+def _compact_left(vals, lanes2, bound=None):
     """Butterfly (deficit) compaction of a (1, 2*LANES) lane vector: all
     non-I32MAX entries move to the leftmost lanes (order scrambled is fine
     — the caller sorts). LSB-first passes over monotone deficits; validated
-    exhaustively against numpy in tests."""
+    exhaustively against numpy in tests.
+
+    bound: optional dynamic scalar upper bound on the index of any live
+    lane (live lanes all sit in [0, bound)). Ranks of live lanes only need
+    prefix contributions from within [0, bound) and their deficits are
+    < bound, so rank passes with sh >= 2*bound and move passes with
+    b >= bound are exact no-ops — skipped at runtime via lax.cond (the
+    full-width roll is the cost of a pass; with a 32k-lane scratch and a
+    ~16-block live worklist this skips ~half the passes)."""
     n = vals.shape[1]
     m = vals != _I32MAX
     mi = m.astype(jnp.int32)
     r = mi
     sh = 1
     while sh < n:
-        r = r + jnp.where(lanes2 >= sh, pltpu.roll(r, sh, axis=1), 0)
+        def rank_pass(rr, sh=sh):
+            return rr + jnp.where(lanes2 >= sh, pltpu.roll(rr, sh, axis=1),
+                                  0)
+        if bound is None:
+            r = rank_pass(r)
+        else:
+            r = lax.cond(sh < 2 * bound, rank_pass, lambda rr: rr, r)
         sh *= 2
     r = r - mi                           # exclusive rank
     deficit = jnp.where(m, lanes2 - r, 0)
     b = 1
     while b < n:
-        ak = pltpu.roll(vals, n - b, axis=1)
-        ad = pltpu.roll(deficit, n - b, axis=1)
-        take = (lanes2 < n - b) & ((ad & b) != 0) & (ak != _I32MAX)
-        vals = jnp.where(take, ak, vals)
-        deficit = jnp.where(take, ad - b, deficit)
+        def move_pass(state, b=b):
+            vv, dd = state
+            ak = pltpu.roll(vv, n - b, axis=1)
+            ad = pltpu.roll(dd, n - b, axis=1)
+            take = (lanes2 < n - b) & ((ad & b) != 0) & (ak != _I32MAX)
+            return (jnp.where(take, ak, vv), jnp.where(take, ad - b, dd))
+        if bound is None:
+            vals, deficit = move_pass((vals, deficit))
+        else:
+            vals, deficit = lax.cond(b < bound, move_pass,
+                                     lambda st: st, (vals, deficit))
         b *= 2
     return vals
 
@@ -403,7 +432,7 @@ def _cull_kernel(nblk_ref, wl_ref, desc_ref, llo_ref, lhi_ref, keys_ref,
 
     width = max_blocks * LANES
     lanes_w = lax.broadcasted_iota(jnp.int32, (TB, width), 1)
-    comp = _compact_left(tmp_ref[:, :], lanes_w)
+    comp = _compact_left(tmp_ref[:, :], lanes_w, bound=nblk * LANES)
     counts = jnp.sum((tmp_ref[:, :] != _I32MAX).astype(jnp.int32), axis=1,
                      keepdims=True)
     comp = jnp.where(lanes_w < counts, comp, _I32MAX)
@@ -648,16 +677,40 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
     distance gate passes the tile's current t_far, so the issued/drained
     DMA sets always match.
 
-    keys_ref (1,1,k_cap) i32 SMEM; cnt_ref (1,1) SMEM; lbg_ref (1,1,nb)
-    f32 SMEM per-super-block gates; tmax_ref (1,1) f32 SMEM; o/d (1,3,256)
-    VMEM; gtab_ref (4L+pad, 48) f32 in HBM (ANY); buf_ref (2*128, 48)
-    VMEM scratch; sem_ref (2, 32) DMA semaphores."""
+    TILE BATCHING: each grid step owns TBM tiles walked by an outer
+    fori_loop — the kernel is grid-step-overhead bound (r3 probe: 5.9 us
+    per 1-tile step against ~0.2 us of matmul flops), so amortizing the
+    fixed step cost over TBM tiles is the single biggest lever on the
+    packet hot path.
+
+    keys_ref (TBM,1,k_cap) i32 SMEM; cnt_ref (TBM,1,1) SMEM; lbg_ref
+    (TBM,1,nb) f32 SMEM per-super-block gates; tmax_ref (TBM,1,1) f32
+    SMEM; o/d (TBM,3,256) VMEM; gtab_ref (4L+pad, 128) f32 in HBM (ANY);
+    buf_ref (2*128, 128) VMEM scratch; sem_ref (2, 32) DMA semaphores."""
     nb = lbg_ref.shape[2]
-    count = jnp.minimum(cnt_ref[0, 0, 0], k_cap)
+    tbm = keys_ref.shape[0]
+    max_leaf_row_g = gtab_ref.shape[0] // 4 - 1
+
+    def tile_body(ti, _):
+        _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref,
+                       d_ref, gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref,
+                       buf_ref, sem_ref, k_cap=k_cap, omap_s=omap_s,
+                       prec=prec, any_hit=any_hit, leaf_bits=leaf_bits,
+                       max_leaf_row=max_leaf_row_g, nb=nb)
+        return 0
+
+    lax.fori_loop(0, tbm, tile_body, 0)
+
+
+def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
+                   gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
+                   sem_ref, *, k_cap, omap_s, prec, any_hit, leaf_bits,
+                   max_leaf_row, nb):
+    count = jnp.minimum(cnt_ref[ti, 0, 0], k_cap)
     nsb = (count + _LPB - 1) // _LPB
 
-    d3 = d_ref[0]                                     # (3, 256)
-    o3 = o_ref[0]
+    d3 = d_ref[pl.ds(ti, 1)][0]                       # (3, 256)
+    o3 = o_ref[pl.ds(ti, 1)][0]
     ox, oy, oz = o3[0:1], o3[1:2], o3[2:3]
     dx, dy, dz = d3[0:1], d3[1:2], d3[2:3]
     cx = oy * dz - oz * dy
@@ -667,19 +720,24 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
     zeros = jnp.zeros((2, TILE), jnp.float32)
     f = jnp.concatenate([d3, cx, cy, cz, o3, ones, zeros], axis=0)  # (12,256)
 
-    tmax = tmax_ref[0, 0, 0]
+    tmax = tmax_ref[ti, 0, 0]
     rows = lax.broadcasted_iota(jnp.int32, (TRI_BLK, 1), 0)
 
-    # a worklist-overflow group reports count = k_cap + 1 with possibly
-    # FEWER live keys — dead (I32MAX) entries inside [0, count) must never
-    # reach the DMA engine: I32MAX & _LEAF_MASK = 262143 is far past the
-    # end of gtab and an out-of-bounds descriptor kills the TPU worker
-    # (observed: bench shadow phase, from-light frusta overflow worklists)
-    max_leaf_row = gtab_ref.shape[0] // 4 - 1
+    # BRANCH-FREE DMA loops: every slot of every walked super-block is
+    # DMA'd unconditionally; dead keys (I32MAX inside an overflow group's
+    # [0, count), or the padding tail of the last block) clamp to the
+    # all-zero SENTINEL leaf row at max_leaf_row (det = 0 -> never hits,
+    # and the `live` mask re-guards the tail anyway). The previous
+    # per-slot live/dead branching tripled the scalar-loop work that
+    # dominates this kernel (r3 probe: per-tile cost ~5.8 us against
+    # ~0.2 us of matmul flops — batching tiles per grid step changed
+    # nothing, so the cost is the per-tile scalar body itself). Clamping
+    # also keeps out-of-bounds descriptors away from the DMA engine
+    # (an OOB descriptor kills the TPU worker).
 
     def leaf_dma(sb, i, slot):
         ki = sb * _LPB + i
-        leaf = jnp.minimum(keys_ref[0, 0, ki] & ((1 << leaf_bits) - 1),
+        leaf = jnp.minimum(keys_ref[ti, 0, ki] & ((1 << leaf_bits) - 1),
                            max_leaf_row)
         return pltpu.make_async_copy(
             gtab_ref.at[pl.ds(leaf * 4, 4), :],
@@ -688,31 +746,12 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
         )
 
     def issue(sb, slot):
-        def one(i, _):
-            ki = sb * _LPB + i
-            live_k = (ki < count) & (keys_ref[0, 0, ki] != _I32MAX)
-
-            @pl.when(live_k)
-            def _():
-                leaf_dma(sb, i, slot).start()
-
-            @pl.when((ki < count) & jnp.logical_not(live_k))
-            def _():
-                # dead slot: zero rows (det = 0 -> never hits)
-                buf_ref[pl.ds(slot * TRI_BLK + i * 4, 4), :] = jnp.zeros(
-                    (4, buf_ref.shape[1]), jnp.float32)
-            return 0
-        lax.fori_loop(0, _LPB, one, 0)
+        for i in range(_LPB):
+            leaf_dma(sb, i, slot).start()
 
     def drain(sb, slot):
-        def one(i, _):
-            ki = sb * _LPB + i
-
-            @pl.when((ki < count) & (keys_ref[0, 0, ki] != _I32MAX))
-            def _():
-                leaf_dma(sb, i, slot).wait()
-            return 0
-        lax.fori_loop(0, _LPB, one, 0)
+        for i in range(_LPB):
+            leaf_dma(sb, i, slot).wait()
 
     @pl.when(nsb > 0)
     def _():
@@ -729,7 +768,7 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
         # gate with the pre-compute t_far so issued == drained even when
         # this block's hits would have culled it (conservative)
         t_far = jnp.max(best_t)
-        gate_n = lbg_ref[0, 0, jnp.minimum(sb + 1, nb - 1)]
+        gate_n = lbg_ref[ti, 0, jnp.minimum(sb + 1, nb - 1)]
         # NaN-safe: a NaN gate (degenerate tile: non-finite ray data makes
         # maxd NaN) must PASS, not stop the walk — `gate <= t_far` is False
         # for NaN and silently truncated live tiles (missed shadow hits)
@@ -826,70 +865,90 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
             jnp.full((1, TILE), -1, jnp.int32))
     (_, _, best_t, best_i, best_u, best_v,
      best_p) = lax.while_loop(cond, body, init)
-    t_ref[0, 0, :] = best_t[0]
-    i_ref[0, 0, :] = best_i[0]
-    u_ref[0, 0, :] = best_u[0]
-    v_ref[0, 0, :] = best_v[0]
-    p_ref[0, 0, :] = best_p[0]
+    t_ref[pl.ds(ti, 1), 0, :] = best_t
+    i_ref[pl.ds(ti, 1), 0, :] = best_i
+    u_ref[pl.ds(ti, 1), 0, :] = best_u
+    v_ref[pl.ds(ti, 1), 0, :] = best_v
+    p_ref[pl.ds(ti, 1), 0, :] = best_p
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
-                                   "mt_precision", "any_hit", "leaf_bits"))
+                                   "mt_precision", "any_hit", "leaf_bits",
+                                   "tiles_per_step"))
 def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
                      k_cap: int, interpret: bool = False, omap_s: int = 0,
                      mt_precision: str = "highest", any_hit: bool = False,
-                     leaf_bits: int = _LEAF_BITS):
+                     leaf_bits: int = _LEAF_BITS, tiles_per_step: int = 8):
     """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
     (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
     -> (t (T, 256), idx (T, 256), u (T, 256), v (T, 256), prim (T, 256))
     with idx = position*4+lane into the key list (same convention as
     mt_resolve over the gathered layout); u/v are the winner's
-    barycentrics; prim the winner's global prim id (-1 = miss)."""
+    barycentrics; prim the winner's global prim id (-1 = miss).
+
+    tiles_per_step: tiles walked per grid step (fixed grid-step cost is
+    the kernel's dominant term — see _mt_fused_kernel)."""
     T = keys.shape[0]
     nb = lbg.shape[2]
+    tbm = max(1, min(tiles_per_step, T))
+    if T % tbm:
+        padt = tbm - T % tbm
+        keys = jnp.concatenate(
+            [keys, jnp.full((padt, k_cap), _I32MAX, keys.dtype)], axis=0)
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((padt,), counts.dtype)], axis=0)
+        lbg = jnp.concatenate(
+            [lbg, jnp.full((padt, 1, nb), jnp.inf, lbg.dtype)], axis=0)
+        tmax = jnp.concatenate(
+            [tmax, jnp.zeros((padt, 1), tmax.dtype)], axis=0)
+        o_t = jnp.concatenate(
+            [o_t, jnp.zeros((padt, 3, TILE), o_t.dtype)], axis=0)
+        d_t = jnp.concatenate(
+            [d_t, jnp.zeros((padt, 3, TILE), d_t.dtype)], axis=0)
+    tp = keys.shape[0]
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions; "vpu"
     # bypasses the MXU entirely (exact f32 broadcast FMAs)
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
     t_out, i_out, u_out, v_out, p_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
                 any_hit=any_hit, leaf_bits=leaf_bits),
-        grid=(T,),
+        grid=(tp // tbm,),
         in_specs=[
-            pl.BlockSpec((1, 1, k_cap), lambda i: (i, 0, 0),
+            pl.BlockSpec((tbm, 1, k_cap), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((tbm, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+            pl.BlockSpec((tbm, 1, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((tbm, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
+            pl.BlockSpec((tbm, 3, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0),
+            pl.BlockSpec((tbm, 3, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
-            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((tp, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 1, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((tp, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 1, TILE), jnp.int32),
         ),
         out_specs=tuple(
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+            pl.BlockSpec((tbm, 1, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(5)),
         scratch_shapes=[
             pltpu.VMEM((2 * TRI_BLK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _LPB)),
         ],
         interpret=interpret,
-    )(keys.reshape(T, 1, k_cap), counts.reshape(T, 1, 1), lbg,
-      tmax.reshape(T, 1, 1), o_t, d_t, gtab_flat)
-    return (t_out.reshape(T, TILE), i_out.reshape(T, TILE),
-            u_out.reshape(T, TILE), v_out.reshape(T, TILE),
-            p_out.reshape(T, TILE))
+    )(keys.reshape(tp, 1, k_cap), counts.reshape(tp, 1, 1), lbg,
+      tmax.reshape(tp, 1, 1), o_t, d_t, gtab_flat)
+    return (t_out.reshape(tp, TILE)[:T], i_out.reshape(tp, TILE)[:T],
+            u_out.reshape(tp, TILE)[:T], v_out.reshape(tp, TILE)[:T],
+            p_out.reshape(tp, TILE)[:T])
 
 
 # --------------------------------------------------------------------------
