@@ -106,7 +106,7 @@ class _SkipPhase(Exception):
 
 def bench_scene(tris, name, ref_entry=None,
                 phases=("primary", "shadow", "diffuse"),
-                max_blocks=256):
+                max_blocks=256, max_blocks_primary=None):
     import jax
     import jax.numpy as jnp
 
@@ -212,9 +212,15 @@ def bench_scene(tris, name, ref_entry=None,
     # K=512 yields ZERO overflowed tiles on the scenes below (asserted by
     # the *_overflow_tiles fields — 0 means the trace is exact anyway);
     # a nonzero count flags the number as approximate.
+    # camera frusta sweep far fewer blocks than from-light/bounce frusta
+    # (measured surviving blocks/group: bunny max 50, grid4 94, grid16
+    # 203), and the cull's butterfly-compaction cost scales with the
+    # worklist width — so the primary phase gets its own shallower depth
+    mbp = max_blocks_primary or max_blocks
+
     def primary():
         return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=512,
-                                  t_max=far_dev, max_blocks=max_blocks,
+                                  t_max=far_dev, max_blocks=mbp,
                                   retrace=False)
 
     # warm/compile the primary NOW; measurement happens after every
@@ -372,12 +378,14 @@ def _sub_section(section):
     bunny, scene_name = _load_bunny()
 
     if section == "bunny":
-        out = bench_scene(bunny, scene_name, ref.get("bunny"))
+        out = bench_scene(bunny, scene_name, ref.get("bunny"),
+                          max_blocks_primary=64)
         out["_scene_name"] = scene_name
         out["_device"] = str(jax.devices()[0])
     elif section == "grid4":
         out = bench_scene(_bunny_grid(bunny, 2, 2), "bunny_grid4",
-                          ref.get("bunny_grid4"), phases=("primary",))
+                          ref.get("bunny_grid4"), phases=("primary",),
+                          max_blocks_primary=128)
     elif section == "grid16":
         # >=1M-tri scale point (≙ the reference's Sponza-class baseline,
         # tiny_bvh_speedtest.cpp:487-495): exposes the dense-cull O(N*T)

@@ -272,9 +272,10 @@ def _compact_left(vals, lanes2, bound=None):
     lane (live lanes all sit in [0, bound)). Ranks of live lanes only need
     prefix contributions from within [0, bound) and their deficits are
     < bound, so rank passes with sh >= 2*bound and move passes with
-    b >= bound are exact no-ops — skipped at runtime via lax.cond (the
-    full-width roll is the cost of a pass; with a 32k-lane scratch and a
-    ~16-block live worklist this skips ~half the passes)."""
+    b >= bound are exact no-ops — skippable at runtime via lax.cond.
+    MEASURED SLOWER on the production cull (bunny 5.2 -> 6.9 ms: the
+    per-pass scf.if outweighs the skipped rolls), so no caller passes it;
+    kept for narrower-scratch use cases."""
     n = vals.shape[1]
     m = vals != _I32MAX
     mi = m.astype(jnp.int32)
@@ -432,7 +433,11 @@ def _cull_kernel(nblk_ref, wl_ref, desc_ref, llo_ref, lhi_ref, keys_ref,
 
     width = max_blocks * LANES
     lanes_w = lax.broadcasted_iota(jnp.int32, (TB, width), 1)
-    comp = _compact_left(tmp_ref[:, :], lanes_w, bound=nblk * LANES)
+    # NOTE: a lax.cond-gated pass-skip bounded by the live worklist width
+    # was tried here and measured SLOWER (bunny cull 5.2 -> 6.9 ms): the
+    # per-pass scf.if costs more than the skipped rolls save. Width comes
+    # down via max_blocks (per-scene tuning) instead.
+    comp = _compact_left(tmp_ref[:, :], lanes_w)
     counts = jnp.sum((tmp_ref[:, :] != _I32MAX).astype(jnp.int32), axis=1,
                      keepdims=True)
     comp = jnp.where(lanes_w < counts, comp, _I32MAX)
