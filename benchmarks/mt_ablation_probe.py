@@ -39,7 +39,12 @@ def main(T=1600, keys_per_tile=64, k_cap=256):
 
     rng = np.random.RandomState(0)
     keys = np.full((T, k_cap), p2._I32MAX, np.int32)
-    keys[:, :keys_per_tile] = rng.randint(0, L, (T, keys_per_tile))
+    # CLUSTERED keys (a random base run per tile), mimicking production
+    # culls where a tile's survivors come from a few contiguous BFS
+    # blocks; fully random keys measured 10x worse DMA time than the
+    # production path ever shows
+    base = rng.randint(0, max(1, L - keys_per_tile), (T, 1))
+    keys[:, :keys_per_tile] = base + np.arange(keys_per_tile)
     counts = np.full((T,), keys_per_tile, np.int32)
     nb = k_cap // 32
     lbg = np.zeros((T, 1, nb), np.float32)
@@ -92,7 +97,8 @@ def main(T=1600, keys_per_tile=64, k_cap=256):
           tmax.reshape(T, 1, 1), o_t, d_t, aux.gtab_pad)
 
     fns = {v: jax.jit(functools.partial(run, v))
-           for v in ("full", "bigdma", "nodma")}
+           for v in ("full", "bigdma", "nodma", "bf16", "mathonly",
+                     "skeleton")}
     for name, fn in fns.items():
         out = fn()
         jax.block_until_ready(out)
@@ -167,6 +173,14 @@ def _ablation_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
             elif variant == "bigdma":
                 big_dma(sb, slot).wait()
 
+        if variant == "skeleton":
+            # per-tile fixed cost floor: loads + stores, no walk at all
+            t_ref[pl.ds(ti, 1), 0, :] = (jnp.zeros((1, TILE), jnp.float32)
+                                         + tmax + f[0:1])
+            i_ref[pl.ds(ti, 1), 0, :] = jnp.full((1, TILE), count,
+                                                 jnp.int32)
+            return 0
+
         @pl.when(nsb > 0)
         def _():
             issue(0, 0)
@@ -188,7 +202,8 @@ def _ablation_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
 
             off = pl.multiple_of(slot * TRI_BLK, TRI_BLK)
             g = buf_ref[pl.ds(off, TRI_BLK), :]
-            prec = lax.Precision.HIGHEST
+            prec = (lax.Precision.DEFAULT if variant == "bf16"
+                    else lax.Precision.HIGHEST)
             det = jnp.dot(g[:, 0:12], f,
                           preferred_element_type=jnp.float32, precision=prec)
             up = jnp.dot(g[:, 12:24], f,
@@ -197,6 +212,11 @@ def _ablation_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
                          preferred_element_type=jnp.float32, precision=prec)
             tp = jnp.dot(g[:, 36:48], f,
                          preferred_element_type=jnp.float32, precision=prec)
+            if variant == "mathonly":
+                # matmuls + minimal fold only: sizes the epilogue share
+                m0 = jnp.min(det + up + vp + tp, axis=0).reshape(1, TILE)
+                best_t = jnp.minimum(best_t, m0)
+                return sb + 1, (sb + 1 < nsb), best_t, best_i
             s = jnp.where(det >= 0, 1.0, -1.0)
             ad = det * s
             us = up * s

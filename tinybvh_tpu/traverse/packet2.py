@@ -668,7 +668,7 @@ def mt_resolve(o_t, d_t, geom, lbg, tmax, interpret: bool = False):
 _LPB = TRI_BLK // 4     # leaves per 128-tri super-block
 
 
-def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
+def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
                      gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                      sem_ref, *, k_cap, omap_s=0,
                      prec=lax.Precision.HIGHEST,
@@ -690,15 +690,18 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
 
     keys_ref (TBM,1,k_cap) i32 SMEM; cnt_ref (TBM,1,1) SMEM; lbg_ref
     (TBM,1,nb) f32 SMEM per-super-block gates; tmax_ref (TBM,1,1) f32
-    SMEM; o/d (TBM,3,256) VMEM; gtab_ref (4L+pad, 128) f32 in HBM (ANY);
-    buf_ref (2*128, 128) VMEM scratch; sem_ref (2, 32) DMA semaphores."""
+    SMEM; f_ref (TBM,12,256) VMEM precomputed per-ray feature rows
+    [d, o x d, o, 1, 0, 0] (built by fused XLA in the wrapper: in-kernel
+    cross products + concat were ~1 us/tile of Mosaic relayouts);
+    gtab_ref (4L+pad, 128) f32 in HBM (ANY); buf_ref (2*128, 128) VMEM
+    scratch; sem_ref (2, 32) DMA semaphores."""
     nb = lbg_ref.shape[2]
     tbm = keys_ref.shape[0]
     max_leaf_row_g = gtab_ref.shape[0] // 4 - 1
 
     def tile_body(ti, _):
-        _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref,
-                       d_ref, gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref,
+        _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
+                       gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref,
                        buf_ref, sem_ref, k_cap=k_cap, omap_s=omap_s,
                        prec=prec, any_hit=any_hit, leaf_bits=leaf_bits,
                        max_leaf_row=max_leaf_row_g, nb=nb)
@@ -707,23 +710,14 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
     lax.fori_loop(0, tbm, tile_body, 0)
 
 
-def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
+def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
                    gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                    sem_ref, *, k_cap, omap_s, prec, any_hit, leaf_bits,
                    max_leaf_row, nb):
     count = jnp.minimum(cnt_ref[ti, 0, 0], k_cap)
     nsb = (count + _LPB - 1) // _LPB
 
-    d3 = d_ref[pl.ds(ti, 1)][0]                       # (3, 256)
-    o3 = o_ref[pl.ds(ti, 1)][0]
-    ox, oy, oz = o3[0:1], o3[1:2], o3[2:3]
-    dx, dy, dz = d3[0:1], d3[1:2], d3[2:3]
-    cx = oy * dz - oz * dy
-    cy = oz * dx - ox * dz
-    cz = ox * dy - oy * dx
-    ones = jnp.ones((1, TILE), jnp.float32)
-    zeros = jnp.zeros((2, TILE), jnp.float32)
-    f = jnp.concatenate([d3, cx, cy, cz, o3, ones, zeros], axis=0)  # (12,256)
+    f = f_ref[pl.ds(ti, 1)][0]                        # (12, 256)
 
     tmax = tmax_ref[ti, 0, 0]
     rows = lax.broadcasted_iota(jnp.int32, (TRI_BLK, 1), 0)
@@ -912,6 +906,12 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
         d_t = jnp.concatenate(
             [d_t, jnp.zeros((padt, 3, TILE), d_t.dtype)], axis=0)
     tp = keys.shape[0]
+    # per-ray feature rows f = [d, o x d, o, 1, 0, 0] built here as fused
+    # XLA: building them in-kernel cost ~1 us/tile of Mosaic relayouts
+    ff = jnp.concatenate([
+        d_t, jnp.cross(o_t, d_t, axis=1), o_t,
+        jnp.ones((tp, 1, TILE), jnp.float32),
+        jnp.zeros((tp, 2, TILE), jnp.float32)], axis=1)   # (tp, 12, 256)
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions; "vpu"
     # bypasses the MXU entirely (exact f32 broadcast FMAs)
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
@@ -928,9 +928,7 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tbm, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tbm, 3, TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tbm, 3, TILE), lambda i: (i, 0, 0),
+            pl.BlockSpec((tbm, 12, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -950,7 +948,7 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
         ],
         interpret=interpret,
     )(keys.reshape(tp, 1, k_cap), counts.reshape(tp, 1, 1), lbg,
-      tmax.reshape(tp, 1, 1), o_t, d_t, gtab_flat)
+      tmax.reshape(tp, 1, 1), ff, gtab_flat)
     return (t_out.reshape(tp, TILE)[:T], i_out.reshape(tp, TILE)[:T],
             u_out.reshape(tp, TILE)[:T], v_out.reshape(tp, TILE)[:T],
             p_out.reshape(tp, TILE)[:T])
