@@ -97,8 +97,8 @@ def main(T=1600, keys_per_tile=64, k_cap=256):
           tmax.reshape(T, 1, 1), o_t, d_t, aux.gtab_pad)
 
     fns = {v: jax.jit(functools.partial(run, v))
-           for v in ("full", "bigdma", "nodma", "bf16", "mathonly",
-                     "skeleton")}
+           for v in ("full", "seg8", "seg32", "bigdma", "nodma", "bf16",
+                     "mathonly", "skeleton")}
     for name, fn in fns.items():
         out = fn()
         jax.block_until_ready(out)
@@ -159,12 +159,32 @@ def _ablation_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
                 sem_ref.at[slot, 0],
             )
 
+        def seg_dma(sb, i, slot, span):
+            # ONE DMA covering `span` consecutive leaves, anchored at the
+            # first key of the segment (clustered keys make this fetch the
+            # right rows; production needs the cull to emit aligned
+            # segment worklists)
+            ki = sb * _LPB + i * span
+            leaf = jnp.minimum(
+                keys_ref[ti, 0, ki] & ((1 << leaf_bits) - 1),
+                max_leaf_row - (span - 1))
+            return pltpu.make_async_copy(
+                gtab_ref.at[pl.ds(leaf * 4, 4 * span)],
+                buf_ref.at[pl.ds(slot * TRI_BLK + i * 4 * span, 4 * span)],
+                sem_ref.at[slot, i],
+            )
+
+        _span = {"seg8": 8, "seg32": 32}.get(variant, 0)
+
         def issue(sb, slot):
             if variant == "full":
                 for i in range(_LPB):
                     leaf_dma(sb, i, slot).start()
             elif variant == "bigdma":
                 big_dma(sb, slot).start()
+            elif _span:
+                for i in range(_LPB // _span):
+                    seg_dma(sb, i, slot, _span).start()
 
         def drain(sb, slot):
             if variant == "full":
@@ -172,6 +192,9 @@ def _ablation_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
                     leaf_dma(sb, i, slot).wait()
             elif variant == "bigdma":
                 big_dma(sb, slot).wait()
+            elif _span:
+                for i in range(_LPB // _span):
+                    seg_dma(sb, i, slot, _span).wait()
 
         if variant == "skeleton":
             # per-tile fixed cost floor: loads + stores, no walk at all
