@@ -741,7 +741,7 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
         return pltpu.make_async_copy(
             gtab_ref.at[pl.ds(leaf * 4, 4), :],
             buf_ref.at[pl.ds(slot * TRI_BLK + i * 4, 4), :],
-            sem_ref.at[slot, i],
+            sem_ref.at[slot],
         )
 
     def issue(sb, slot):
@@ -749,8 +749,20 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
             leaf_dma(sb, i, slot).start()
 
     def drain(sb, slot):
-        for i in range(_LPB):
-            leaf_dma(sb, i, slot).wait()
+        # ONE aggregate wait per super-block: all _LPB copies of a slot
+        # signal the SAME per-slot semaphore (DMA semaphores count bytes),
+        # so a single descriptor covering the whole (TRI_BLK, 128) buffer
+        # half waits for exactly the sum of the 32 leaf copies. The
+        # previous per-leaf drain re-ran the full scalar address
+        # computation (SMEM key load + decode) 32x per super-block just
+        # to wait — and the scalar loop, not the matmuls, dominates this
+        # kernel (r3 ablation probe).
+        off = pl.multiple_of(slot * TRI_BLK, TRI_BLK)
+        pltpu.make_async_copy(
+            gtab_ref.at[pl.ds(0, TRI_BLK), :],
+            buf_ref.at[pl.ds(off, TRI_BLK), :],
+            sem_ref.at[slot],
+        ).wait()
 
     @pl.when(nsb > 0)
     def _():
@@ -944,7 +956,9 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
                          memory_space=pltpu.VMEM) for _ in range(5)),
         scratch_shapes=[
             pltpu.VMEM((2 * TRI_BLK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, _LPB)),
+            # one byte-counting semaphore per buffer slot (all _LPB leaf
+            # copies of a slot signal it; drain waits once for the sum)
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(keys.reshape(tp, 1, k_cap), counts.reshape(tp, 1, 1), lbg,
