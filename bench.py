@@ -64,7 +64,7 @@ def _camera_rays(lo, hi, W=640, H=640):
     return o, d, center, extent
 
 
-def _amortized(fn_async, n=8):
+def _amortized(fn_async, n=8, windows=3):
     """Sustained per-call seconds: queue n async dispatches, sync once
     (pays the tunnel round-trip once), then force a D2H readback as the
     hard completion barrier (this backend's per-array block_until_ready
@@ -73,7 +73,14 @@ def _amortized(fn_async, n=8):
     The barrier readback must be ONE element sliced ON DEVICE: a
     full-array np.asarray() pulls megabytes through the tunnel whose
     D2H time (variable, up to seconds) lands inside the timed region —
-    r3 rehearsal measured bunny at 0.775 MRays/s purely from that."""
+    r3 rehearsal measured bunny at 0.775 MRays/s purely from that.
+
+    BEST OF `windows` dispatch windows: identical-protocol runs of the
+    same compiled call measured 30-45 MRays/s across the day (tunnel/
+    device queue noise lands inside single windows); the min window is
+    the device-capability number and is reproducible to a few percent
+    (r3 bisect: the spread is NOT caused by other live executables or
+    buffers — warming lbvh+shadow moved primary 45.0 -> 43.6 only)."""
     import jax
     import jax.numpy as jnp
 
@@ -85,13 +92,16 @@ def _amortized(fn_async, n=8):
         np.asarray(jnp.ravel(leaf)[:1])
 
     barrier(fn_async())   # warm
-    t0 = time.perf_counter()
-    outs = [fn_async() for _ in range(n)]
-    barrier(outs[-1])
-    dt = (time.perf_counter() - t0) / n
-    # let result-buffer deallocations drain before the next phase
-    time.sleep(2.0)
-    return dt
+    best = None
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        outs = [fn_async() for _ in range(n)]
+        barrier(outs[-1])
+        dt = (time.perf_counter() - t0) / n
+        best = dt if best is None else min(best, dt)
+        # let result-buffer deallocations drain between windows/phases
+        time.sleep(2.0)
+    return best
 
 
 def _emit(out):
