@@ -120,7 +120,8 @@ def _ablation_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, o_ref, d_ref,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from tinybvh_tpu.traverse.packet2 import _LPB, TRI_BLK, TILE
+    from tinybvh_tpu.traverse.packet2 import TRI_BLK, TILE
+    _LPB = TRI_BLK // 4   # this probe's keys are per-LEAF (pre-segment era)
 
     nb = lbg_ref.shape[2]
     tbm = keys_ref.shape[0]

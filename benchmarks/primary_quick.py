@@ -52,8 +52,10 @@ def main():
     jax.block_until_ready(far_dev)
 
     def primary():
-        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=512,
-                                  t_max=far_dev, max_blocks=64,
+        # segment-granularity budgets: 768 leaves = 192 segment keys
+        # (bunny camera max 160), worklist depth 32 (max 27 seg-blocks)
+        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=768,
+                                  t_max=far_dev, max_blocks=32,
                                   retrace=False)
 
     t0 = time.time()

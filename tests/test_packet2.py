@@ -89,7 +89,11 @@ def test_g_rows_match_moller_trumbore(scene):
 
 
 def test_cull_matches_frontier_collector(scene):
-    """Dense cull = BFS collector leaf sets (hierarchy-free equivalence)."""
+    """Dense segment cull ⊇ BFS collector leaf sets, and = the numpy
+    segment-frustum reference (hierarchy-free equivalence at SPAN
+    granularity)."""
+    from tinybvh_tpu.traverse.packet2 import SPAN
+
     tris, bvh8, aux = scene
     o, d = _camera_rays(T=4)
     T = 4
@@ -105,15 +109,29 @@ def test_cull_matches_frontier_collector(scene):
                               k_cap=256, interpret=True)
     ref_lv, _ = collect_tile_leaves(bvh8, olo, d4, max_leaves=512,
                                     pair_cap_factor=64, tile_ohi=ohi)
-    _, leaves = _decode_keys(keys)
+    _, segs = _decode_keys(keys)
     keys_np = np.asarray(keys)
-    leaves_np = np.asarray(leaves)
+    segs_np = np.asarray(segs)
     ref_np = np.asarray(ref_lv)
+    # numpy reference: a segment survives iff its union box passes every
+    # tile plane (same test as the collector's per-leaf slab logic)
+    slo = np.asarray(aux.leaf_lo).T      # (Spad, 3)
+    shi = np.asarray(aux.leaf_hi).T
+    n_segs = aux.n_segs
+    pn = np.asarray(posn)
+    nn = np.asarray(negn)
+    th = np.asarray(thresh)
     for t in range(T):
-        got = set(leaves_np[t][keys_np[t] != _I32MAX].tolist())
-        want = set(ref_np[t][ref_np[t] != 2**31 - 1].tolist())
-        assert got == want
-        assert int(np.asarray(counts)[t]) == len(want)
+        got = set(segs_np[t][keys_np[t] != _I32MAX].tolist())
+        want_leaves = set(ref_np[t][ref_np[t] != 2**31 - 1].tolist())
+        # every collector leaf is covered by a surviving segment
+        assert {lf // SPAN for lf in want_leaves} <= got
+        dist = (pn[t] @ shi.T + nn[t] @ slo.T - th[t][:, None])  # (4, Spad)
+        ok = ~(dist < 0).any(axis=0)
+        ok[n_segs:] = False
+        want_segs = set(np.where(ok)[0].tolist())
+        assert got == want_segs
+        assert int(np.asarray(counts)[t]) == len(want_segs)
 
 
 def test_primary_matches_wavefront(scene):
@@ -233,14 +251,16 @@ def test_fused_kernel_dead_keys_within_count(scene):
     import jax.numpy as jnp
     from tinybvh_tpu.traverse.packet2 import TILE, mt_resolve_fused
 
+    from tinybvh_tpu.traverse.packet2 import _KPB
+
     tris, bvh8, aux = scene
     K = 64
     T = 2
-    # tile 0: one live key (leaf 0) then dead entries, count = K+1 clamped
+    # tile 0: one live key (segment 0) then dead entries, count beyond it
     keys = np.full((T, K), _I32MAX, np.int32)
-    keys[0, 0] = 0  # leaf 0, lb bits zero
+    keys[0, 0] = 0  # segment 0, lb bits zero
     counts = np.array([K, 0], np.int32)  # count beyond the live prefix
-    lbg = np.zeros((T, 1, K // 32), np.float32)
+    lbg = np.zeros((T, 1, K // _KPB), np.float32)
     tmax = np.full((T, 1), 1e30, np.float32)
     o_t = np.zeros((T, 3, TILE), np.float32)
     o_t[:, 2, :] = -3.0 - np.asarray(aux.center)[2]

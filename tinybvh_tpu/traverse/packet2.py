@@ -55,25 +55,44 @@ from tinybvh_tpu.layouts.mbvh import BVH8
 from tinybvh_tpu.traverse.packet import TILE, _tile_planes
 
 _I32MAX = 2**31 - 1  # plain int: jnp scalars become captured consts in Pallas
-_LEAF_BITS = 18          # leaf id in the low bits of a cull key (<= 262k rows)
+_LEAF_BITS = 18          # segment id in the low bits of a cull key
 _LEAF_MASK = (1 << _LEAF_BITS) - 1
 TB = 8                   # tiles per K1 grid step
-LANES = 128              # leaves per K1 lane block
-TRI_BLK = 128            # triangles per K2 matmul block (= 32 leaves)
+LANES = 128              # segments per K1 lane block
+TRI_BLK = 128            # triangles per K2 matmul block (= 8 segments)
+# SEGMENT granularity: one cull key covers SPAN consecutive leaves
+# (their union AABB). Consecutive leaves are BFS-emission-ordered
+# siblings, so union boxes stay tight; measured on the bunny camera
+# setup, span=4 cuts surviving keys/tile 38->23 and — the real wins —
+# shrinks the cull's entity count, block count and butterfly-compaction
+# width 4x, and replaces 32 per-leaf DMAs per MT super-block with 8
+# segment DMAs (the r3 ablation probe's seg variants run at bigdma
+# speed). The cost is ~2.4x more MT matmul rows, which the same probe
+# measured at ~1 us per super-block — far below the scalar work saved.
+SPAN = 4                 # leaves per cull segment
+SEG_ROWS = 4 * SPAN      # gtab rows (tris) per segment
+_KPB = TRI_BLK // SEG_ROWS   # keys (segments) per MT super-block
 
 
 @struct.dataclass
 class PacketAux:
-    """Per-BVH8 precomputed tables for the packet2 pipeline."""
+    """Per-BVH8 precomputed tables for the packet2 pipeline.
 
-    leaf_lo: jnp.ndarray   # (3, Lpad) f32 leaf AABB lows  (+FAR padding)
-    leaf_hi: jnp.ndarray   # (3, Lpad) f32 leaf AABB highs (-FAR padding)
-    blk_lo: jnp.ndarray    # (3, NBpad) f32 union boxes of 128-leaf blocks
+    Cull entities are SEGMENTS of SPAN consecutive leaves (leaf_lo/hi
+    hold segment union boxes); the fused MT kernel DMAs whole segments
+    ((SEG_ROWS, 128) G-row blocks)."""
+
+    leaf_lo: jnp.ndarray   # (3, Spad) f32 segment AABB lows  (+FAR padding)
+    leaf_hi: jnp.ndarray   # (3, Spad) f32 segment AABB highs (-FAR padding)
+    blk_lo: jnp.ndarray    # (3, NBpad) f32 union boxes of 128-seg blocks
     blk_hi: jnp.ndarray    # (3, NBpad) f32
     gtab: jnp.ndarray      # (L, 4, 48) f32 per-tri [G_det|G_u|G_v|G_t] rows
-    gtab_pad: jnp.ndarray  # (4L, 128) f32 same rows, lane-padded to 128 so
-    #                        the fused kernel can DMA whole (4, 128) leaf
-    #                        blocks (Mosaic HBM slices must be 128-aligned)
+    gtab_pad: jnp.ndarray  # (4*Lpad + SEG_ROWS, 128) f32 same rows, lane-
+    #                        padded to 128 so the fused kernel can DMA whole
+    #                        (SEG_ROWS, 128) segment blocks (Mosaic HBM
+    #                        slices must be 128-lane aligned); leaf rows are
+    #                        zero-padded to a SPAN multiple + one all-zero
+    #                        sentinel segment for dead keys
     center: jnp.ndarray    # (3,) f32 scene center subtracted from gtab
     # opacity micromaps ride along in gtab_pad lanes 48:48+ceil(S*S/16)
     # (16 bits per f32 word — exact under int<->float conversion), so the
@@ -85,6 +104,11 @@ class PacketAux:
     @property
     def n_leaves(self):
         return self.gtab.shape[0]
+
+    @property
+    def n_segs(self):
+        """Real (non-padding) cull segments."""
+        return -(-self.gtab.shape[0] // SPAN)
 
     @property
     def n_blocks(self):
@@ -106,10 +130,14 @@ def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
     center = (lo.min(axis=0) + hi.max(axis=0)) * 0.5
 
     L = lt.shape[0]
-    lpad = -(-L // LANES) * LANES
+    lpad = -(-L // (LANES * SPAN)) * (LANES * SPAN)
     pad = lpad - L
-    lo_p = jnp.concatenate([lo, jnp.full((pad, 3), BVH_FAR)], axis=0)
-    hi_p = jnp.concatenate([hi, jnp.full((pad, 3), -BVH_FAR)], axis=0)
+    lo_lp = jnp.concatenate([lo, jnp.full((pad, 3), BVH_FAR)], axis=0)
+    hi_lp = jnp.concatenate([hi, jnp.full((pad, 3), -BVH_FAR)], axis=0)
+    # segment union boxes: the cull entity (padding leaves are +/-FAR
+    # inverted boxes, so they vanish in the min/max)
+    lo_p = lo_lp.reshape(-1, SPAN, 3).min(axis=1)       # (Spad, 3)
+    hi_p = hi_lp.reshape(-1, SPAN, 3).max(axis=1)
 
     v0 = lt[:, :, 0] - center                # centered
     e1 = lt[:, :, 1] - lt[:, :, 0]
@@ -128,9 +156,9 @@ def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
     gtab = jnp.where(tri_ok, jnp.concatenate(
         [g_det, g_u, g_v, g_t], axis=-1), 0.0)                      # (L,4,48)
 
-    # coarse level: union AABB per 128-leaf block (the two-level cull's
+    # coarse level: union AABB per 128-segment block (the two-level cull's
     # upper tier; blocks are BFS-emission-ordered, so unions stay tight)
-    nb = lpad // LANES
+    nb = lpad // (LANES * SPAN)
     blo = lo_p.reshape(nb, LANES, 3).min(axis=1)
     bhi = hi_p.reshape(nb, LANES, 3).max(axis=1)
     nbpad = -(-nb // LANES) * LANES
@@ -159,12 +187,16 @@ def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
     gtab_pad = jnp.concatenate(
         [gtab.reshape(-1, 48), ow, pid,
          jnp.zeros((4 * L, 127 - 48 - ow.shape[1]), jnp.float32)], axis=1)
-    # one all-zero sentinel leaf row block at the end: dead cull keys DMA
-    # it unconditionally (det = 0 -> never hits), which keeps the fused
-    # kernel's DMA loops branch-free (scalar-loop cost dominates the MT
-    # kernel; see _mt_fused_tile)
+    # zero rows for the last segment's padding leaves + one all-zero
+    # sentinel SEGMENT at the end: dead cull keys DMA it unconditionally
+    # (det = 0 -> never hits), which keeps the fused kernel's DMA loops
+    # branch-free (scalar-loop cost dominates the MT kernel; see
+    # _mt_fused_tile)
+    lseg = -(-L // SPAN) * SPAN
+    tail = 4 * (lseg - L) + SEG_ROWS
     gtab_pad = jnp.concatenate(
-        [gtab_pad, jnp.zeros((4, gtab_pad.shape[1]), jnp.float32)], axis=0)
+        [gtab_pad, jnp.zeros((tail, gtab_pad.shape[1]), jnp.float32)],
+        axis=0)
     return PacketAux(leaf_lo=lo_p.T, leaf_hi=hi_p.T,
                      blk_lo=blo.T, blk_hi=bhi.T, gtab=gtab,
                      gtab_pad=gtab_pad, center=center,
@@ -194,12 +226,14 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     center = ((lo.min(axis=0) + hi.max(axis=0)) * 0.5).astype(np.float32)
 
     L = lt.shape[0]
-    lpad = -(-L // LANES) * LANES
+    lpad = -(-L // (LANES * SPAN)) * (LANES * SPAN)
     pad = lpad - L
-    lo_p = np.concatenate(
+    lo_lp = np.concatenate(
         [lo, np.full((pad, 3), BVH_FAR, np.float32)], axis=0)
-    hi_p = np.concatenate(
+    hi_lp = np.concatenate(
         [hi, np.full((pad, 3), -BVH_FAR, np.float32)], axis=0)
+    lo_p = lo_lp.reshape(-1, SPAN, 3).min(axis=1)       # (Spad, 3)
+    hi_p = hi_lp.reshape(-1, SPAN, 3).max(axis=1)
 
     v0 = lt[:, :, 0] - center
     e1 = lt[:, :, 1] - lt[:, :, 0]
@@ -217,7 +251,7 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     gtab = np.where(tri_ok, np.concatenate(
         [g_det, g_u, g_v, g_t], axis=-1), 0.0).astype(np.float32)
 
-    nb = lpad // LANES
+    nb = lpad // (LANES * SPAN)
     blo = lo_p.reshape(nb, LANES, 3).min(axis=1)
     bhi = hi_p.reshape(nb, LANES, 3).max(axis=1)
     nbpad = -(-nb // LANES) * LANES
@@ -245,9 +279,11 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     gtab_pad = np.concatenate(
         [gtab.reshape(-1, 48), ow, pid,
          np.zeros((4 * L, 127 - 48 - ow.shape[1]), np.float32)], axis=1)
-    # zero sentinel leaf row block (see build_packet_aux)
+    # pad-leaf zero rows + sentinel segment (see build_packet_aux)
+    lseg = -(-L // SPAN) * SPAN
+    tail = 4 * (lseg - L) + SEG_ROWS
     gtab_pad = np.concatenate(
-        [gtab_pad, np.zeros((4, gtab_pad.shape[1]), np.float32)], axis=0)
+        [gtab_pad, np.zeros((tail, gtab_pad.shape[1]), np.float32)], axis=0)
     return PacketAux(leaf_lo=jnp.asarray(lo_p.T.copy()),
                      leaf_hi=jnp.asarray(hi_p.T.copy()),
                      blk_lo=jnp.asarray(blo.T.copy()),
@@ -450,9 +486,10 @@ def _cull_kernel(nblk_ref, wl_ref, desc_ref, llo_ref, lhi_ref, keys_ref,
 def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
                k_cap: int = 256, interpret: bool = False,
                max_blocks: int = 128, leaf_bits: int = _LEAF_BITS):
-    """Two-level dense frustum cull: per tile the (lb|leaf) keys of every
-    leaf whose AABB intersects the tile frustum (unordered, live keys
-    compacted to the front, I32MAX padded) + survivor counts.
+    """Two-level dense frustum cull: per tile the (lb|segment) keys of
+    every SPAN-leaf segment whose union AABB intersects the tile frustum
+    (unordered, live keys compacted to the front, I32MAX padded) +
+    survivor counts.
 
     Tier 1 (K1a) tests 128-leaf block union boxes per tile GROUP and is
     pure vector math; a tiny XLA pass compacts the surviving block ids
@@ -521,7 +558,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
     nblk_in = jnp.minimum(n_blk_g, max_blocks).astype(jnp.int32).reshape(
         G, 1, 1)
     keys, cnt = pl.pallas_call(
-        partial(_cull_kernel, n_leaves=aux.n_leaves, k_cap=k_cap,
+        partial(_cull_kernel, n_leaves=aux.n_segs, k_cap=k_cap,
                 max_blocks=max_blocks, leaf_bits=leaf_bits),
         grid=(G,),
         in_specs=[
@@ -665,14 +702,12 @@ def mt_resolve(o_t, d_t, geom, lbg, tmax, interpret: bool = False):
 # K2f: fused gather + MT (manual HBM->VMEM leaf DMAs)
 # --------------------------------------------------------------------------
 
-_LPB = TRI_BLK // 4     # leaves per 128-tri super-block
-
-
 def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
                      gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                      sem_ref, *, k_cap, omap_s=0,
                      prec=lax.Precision.HIGHEST,
-                     any_hit=False, leaf_bits=_LEAF_BITS):
+                     any_hit=False, leaf_bits=_LEAF_BITS,
+                     tri_blk=TRI_BLK):
     """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
     DMA each live leaf's (4, 48) G-row block straight from HBM into a
     double-buffered (128, 48) VMEM super-block, and run the triple-product
@@ -697,14 +732,15 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
     scratch; sem_ref (2, 32) DMA semaphores."""
     nb = lbg_ref.shape[2]
     tbm = keys_ref.shape[0]
-    max_leaf_row_g = gtab_ref.shape[0] // 4 - 1
+    # last SEG_ROWS rows of gtab are the all-zero sentinel segment
+    max_seg_row_g = gtab_ref.shape[0] // SEG_ROWS - 1
 
     def tile_body(ti, _):
         _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
                        gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref,
                        buf_ref, sem_ref, k_cap=k_cap, omap_s=omap_s,
                        prec=prec, any_hit=any_hit, leaf_bits=leaf_bits,
-                       max_leaf_row=max_leaf_row_g, nb=nb)
+                       max_seg_row=max_seg_row_g, nb=nb, tri_blk=tri_blk)
         return 0
 
     lax.fori_loop(0, tbm, tile_body, 0)
@@ -713,14 +749,15 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
 def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
                    gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                    sem_ref, *, k_cap, omap_s, prec, any_hit, leaf_bits,
-                   max_leaf_row, nb):
+                   max_seg_row, nb, tri_blk=TRI_BLK):
+    kpb = tri_blk // SEG_ROWS        # keys (segments) per super-block
     count = jnp.minimum(cnt_ref[ti, 0, 0], k_cap)
-    nsb = (count + _LPB - 1) // _LPB
+    nsb = (count + kpb - 1) // kpb
 
     f = f_ref[pl.ds(ti, 1)][0]                        # (12, 256)
 
     tmax = tmax_ref[ti, 0, 0]
-    rows = lax.broadcasted_iota(jnp.int32, (TRI_BLK, 1), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (tri_blk, 1), 0)
 
     # BRANCH-FREE DMA loops: every slot of every walked super-block is
     # DMA'd unconditionally; dead keys (I32MAX inside an overflow group's
@@ -734,33 +771,33 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
     # also keeps out-of-bounds descriptors away from the DMA engine
     # (an OOB descriptor kills the TPU worker).
 
-    def leaf_dma(sb, i, slot):
-        ki = sb * _LPB + i
-        leaf = jnp.minimum(keys_ref[ti, 0, ki] & ((1 << leaf_bits) - 1),
-                           max_leaf_row)
+    def seg_dma(sb, i, slot):
+        ki = sb * kpb + i
+        seg = jnp.minimum(keys_ref[ti, 0, ki] & ((1 << leaf_bits) - 1),
+                          max_seg_row)
         return pltpu.make_async_copy(
-            gtab_ref.at[pl.ds(leaf * 4, 4), :],
-            buf_ref.at[pl.ds(slot * TRI_BLK + i * 4, 4), :],
+            gtab_ref.at[pl.ds(seg * SEG_ROWS, SEG_ROWS), :],
+            buf_ref.at[pl.ds(slot * tri_blk + i * SEG_ROWS, SEG_ROWS), :],
             sem_ref.at[slot],
         )
 
     def issue(sb, slot):
-        for i in range(_LPB):
-            leaf_dma(sb, i, slot).start()
+        for i in range(kpb):
+            seg_dma(sb, i, slot).start()
 
     def drain(sb, slot):
-        # ONE aggregate wait per super-block: all _LPB copies of a slot
+        # ONE aggregate wait per super-block: all _KPB copies of a slot
         # signal the SAME per-slot semaphore (DMA semaphores count bytes),
-        # so a single descriptor covering the whole (TRI_BLK, 128) buffer
-        # half waits for exactly the sum of the 32 leaf copies. The
+        # so a single descriptor covering the whole (tri_blk, 128) buffer
+        # half waits for exactly the sum of the segment copies. The
         # previous per-leaf drain re-ran the full scalar address
-        # computation (SMEM key load + decode) 32x per super-block just
-        # to wait — and the scalar loop, not the matmuls, dominates this
-        # kernel (r3 ablation probe).
-        off = pl.multiple_of(slot * TRI_BLK, TRI_BLK)
+        # computation (SMEM key load + decode) per leaf just to wait —
+        # and the scalar loop, not the matmuls, dominates this kernel
+        # (r3 ablation probe).
+        off = pl.multiple_of(slot * tri_blk, tri_blk)
         pltpu.make_async_copy(
-            gtab_ref.at[pl.ds(0, TRI_BLK), :],
-            buf_ref.at[pl.ds(off, TRI_BLK), :],
+            gtab_ref.at[pl.ds(0, tri_blk), :],
+            buf_ref.at[pl.ds(off, tri_blk), :],
             sem_ref.at[slot],
         ).wait()
 
@@ -793,17 +830,17 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
         def _():
             issue(sb + 1, 1 - slot)
 
-        off = pl.multiple_of(slot * TRI_BLK, TRI_BLK)
-        g = buf_ref[pl.ds(off, TRI_BLK), :]               # (128, 48)
+        off = pl.multiple_of(slot * tri_blk, tri_blk)
+        g = buf_ref[pl.ds(off, tri_blk), :]               # (128, 48)
         if prec == "vpu":
             # depth-12 "matmuls" as 48 broadcast FMAs on the VPU: the MXU
             # runs K=12 dots at ~9% depth utilization and f32 needs 6 bf16
             # passes (HIGHEST) for exactness — the VPU does the same work
             # in native f32 with no precision hack
-            det = jnp.zeros((TRI_BLK, TILE), jnp.float32)
-            up = jnp.zeros((TRI_BLK, TILE), jnp.float32)
-            vp = jnp.zeros((TRI_BLK, TILE), jnp.float32)
-            tp = jnp.zeros((TRI_BLK, TILE), jnp.float32)
+            det = jnp.zeros((tri_blk, TILE), jnp.float32)
+            up = jnp.zeros((tri_blk, TILE), jnp.float32)
+            vp = jnp.zeros((tri_blk, TILE), jnp.float32)
+            tp = jnp.zeros((tri_blk, TILE), jnp.float32)
             for kk in range(12):
                 fk = f[kk:kk + 1, :]                      # (1, 256)
                 det = det + g[:, kk:kk + 1] * fk
@@ -826,7 +863,7 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
         us = up * s
         vs = vp * s
         ts = tp * s
-        live = (sb * TRI_BLK + rows) < count * 4
+        live = (sb * tri_blk + rows) < count * SEG_ROWS
         hit = (us >= 0) & (vs >= 0) & (us + vs <= ad) & (ts > 0) & (ad > 0)
         if omap_s:
             # opacity-micromap alpha test (≙ tiny_bvh.h:8514-8522): the
@@ -862,7 +899,7 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
         p_blk = jnp.sum(jnp.where(oh, gp, 0), axis=0, keepdims=True)
         better = m < best_t
         best_t = jnp.where(better, m, best_t)
-        best_i = jnp.where(better, sb * TRI_BLK + am, best_i)
+        best_i = jnp.where(better, sb * tri_blk + am, best_i)
         best_u = jnp.where(better, u_blk, state[4])
         best_v = jnp.where(better, v_blk, state[5])
         best_p = jnp.where(better, p_blk, state[6])
@@ -885,11 +922,12 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
                                    "mt_precision", "any_hit", "leaf_bits",
-                                   "tiles_per_step"))
+                                   "tiles_per_step", "tri_blk"))
 def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
                      k_cap: int, interpret: bool = False, omap_s: int = 0,
                      mt_precision: str = "highest", any_hit: bool = False,
-                     leaf_bits: int = _LEAF_BITS, tiles_per_step: int = 8):
+                     leaf_bits: int = _LEAF_BITS, tiles_per_step: int = 8,
+                     tri_blk: int = TRI_BLK):
     """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
     (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
@@ -929,7 +967,7 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
     t_out, i_out, u_out, v_out, p_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
-                any_hit=any_hit, leaf_bits=leaf_bits),
+                any_hit=any_hit, leaf_bits=leaf_bits, tri_blk=tri_blk),
         grid=(tp // tbm,),
         in_specs=[
             pl.BlockSpec((tbm, 1, k_cap), lambda i: (i, 0, 0),
@@ -955,8 +993,8 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
             pl.BlockSpec((tbm, 1, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(5)),
         scratch_shapes=[
-            pltpu.VMEM((2 * TRI_BLK, 128), jnp.float32),
-            # one byte-counting semaphore per buffer slot (all _LPB leaf
+            pltpu.VMEM((2 * tri_blk, 128), jnp.float32),
+            # one byte-counting semaphore per buffer slot (all _KPB segment
             # copies of a slot signal it; drain waits once for the sum)
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -980,13 +1018,15 @@ def _decode_keys(keys, leaf_bits=_LEAF_BITS):
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "sort", "fused",
-                                   "mt_precision", "max_blocks", "any_hit"))
+                                   "mt_precision", "max_blocks", "any_hit",
+                                   "tri_blk"))
 def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_leaves: int = 256, t_max=BVH_FAR,
                        interpret: bool = False, retrace: bool = True,
                        wf_cap_factor: int = 8, sort: bool = False,
                        fused: bool = True, mt_precision: str = "highest",
-                       max_blocks: int = 128, any_hit: bool = False):
+                       max_blocks: int = 128, any_hit: bool = False,
+                       tri_blk: int = 256):
     """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
     origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
     Returns (Hits, per-tile overflow mask). With retrace=True overflowed
@@ -994,7 +1034,20 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     (the returned hits are then exact everywhere; the mask only reports
     where the fallback ran)."""
     K = max_leaves
-    assert K % 32 == 0
+    assert K % (_KPB * SPAN) == 0
+    Kk = K // SPAN                 # cull-key (segment) budget
+    # MT super-block size: kpb segment keys = kpb*SEG_ROWS tris per
+    # matmul block. 256-tri blocks halve the per-iteration fixed cost
+    # (drain/issue/gates/epilogue) relative to 128; tiny budgets shrink
+    # the block so at least one full super-block exists.
+    kpb = tri_blk // SEG_ROWS
+    while Kk % kpb:
+        kpb //= 2
+    if not fused:
+        # the gathered-layout kernel (mt_resolve) has a fixed TRI_BLK
+        # block: its gate vector must be one entry per 128-tri group
+        kpb = min(kpb, _KPB)
+    tb_eff = kpb * SEG_ROWS
     R = rays.o.shape[0]
     T = R // TILE
     o = rays.o.reshape(T, TILE, 3)
@@ -1026,61 +1079,65 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     tcap = jnp.max(reach, axis=1)                         # (T,)
     tcap = jnp.where(jnp.isfinite(tcap), tcap * 1.001 + 1e-4, BVH_FAR)
 
-    # leaf ids must fit the key low bits: scenes beyond 2^18 leaf rows
-    # (>1M tris) trade distance-ordering granularity for id range
+    # segment ids must fit the key low bits: scenes beyond 2^18 segment
+    # rows (>4M tris) trade distance-ordering granularity for id range
     leaf_bits = max(_LEAF_BITS, (aux.leaf_lo.shape[1] - 1).bit_length())
     keys, counts = cull_tiles(aux, posn, negn, thresh, olo, ohi, tcap,
-                              k_cap=K, interpret=interpret,
+                              k_cap=Kk, interpret=interpret,
                               max_blocks=max_blocks, leaf_bits=leaf_bits)
-    overflow = counts > K
+    overflow = counts > Kk
 
-    keys_s = keys[:, :K]
-    nbk = K // 32
+    keys_s = keys[:, :Kk]
+    nbk = Kk // kpb
     if sort:
         # near-to-far ordering of every key enables mid-list early exit in
         # K2; the XLA sort costs ~27 ms on 1600x256 keys, so it only pays
         # off for scenes with very long per-tile lists
         keys_s = lax.sort(keys_s, dimension=1)
     elif fused:
-        # BLOCK-gate ordering: sort only the K/32 super-blocks of each
+        # BLOCK-gate ordering: sort only the Kk/kpb super-blocks of each
         # tile by their min entry distance (a tiny (T, nb) argsort + one
         # block gather — no full key sort). Near-to-far block order makes
         # the kernel's gate early-exit CORRECT mid-list: once the next
         # gate exceeds every ray's best t, all later blocks do too.
         lb0, _ = _decode_keys(keys_s, leaf_bits)
         lb_live = jnp.where(keys_s != _I32MAX, lb0, BVH_FAR)
-        lbmin = lb_live.reshape(T, nbk, 32).min(axis=2)      # (T, nb)
+        lbmin = lb_live.reshape(T, nbk, kpb).min(axis=2)     # (T, nb)
         order = jnp.argsort(lbmin, axis=1)
         keys_s = jnp.take_along_axis(
-            keys_s.reshape(T, nbk, 32), order[..., None], axis=1
-        ).reshape(T, K)
-    lb, leaves = _decode_keys(keys_s, leaf_bits)
+            keys_s.reshape(T, nbk, kpb), order[..., None], axis=1
+        ).reshape(T, Kk)
+    lb, segs = _decode_keys(keys_s, leaf_bits)
     live = keys_s != _I32MAX
-    lrow = jnp.where(live, leaves, 0)
+    lrow = jnp.where(live, segs, 0)
 
     if not fused:
         # per-triangle row gather straight into kernel layout ((T, K4, 48),
         # no post-gather reshape across the 128-lane padding); dead entries
-        # point at an all-zero sentinel row (det = 0 -> never hits)
+        # point at an all-zero sentinel row (det = 0 -> never hits).
+        # gtab_pad's trailing rows (pad leaves + sentinel segment) are
+        # already zero, so whole dead segments gather harmlessly.
         gflat = aux.gtab.reshape(-1, 48)
         zrow = jnp.int32(gflat.shape[0])
         gflat = jnp.concatenate(
             [gflat, jnp.zeros((1, 48), jnp.float32)], axis=0)
-        lanes4 = jnp.arange(4, dtype=jnp.int32)
-        tri_idx = jnp.where(live[:, :, None], lrow[:, :, None] * 4 + lanes4,
-                            zrow).reshape(T, K * 4)
+        lanes_s = jnp.arange(SEG_ROWS, dtype=jnp.int32)
+        tri_idx = jnp.where(
+            live[:, :, None],
+            jnp.minimum(lrow[:, :, None] * SEG_ROWS + lanes_s, zrow),
+            zrow).reshape(T, Kk * SEG_ROWS)
         geom = gflat[tri_idx]                            # (T, K4, 48)
 
     # block gates in ray-t units: entry distance / max |d| over the tile.
     # Dead blocks gate at +inf so they never pass (t_far itself can reach
     # BVH_FAR when a tile has miss rays)
     maxd = jnp.maximum(dlen.max(axis=1), 1e-20)          # (T,)
-    blk_live = live.reshape(T, nbk, 32).any(axis=2)
+    blk_live = live.reshape(T, nbk, kpb).any(axis=2)
     if sort:
-        gate = jnp.where(live, lb, BVH_FAR)[:, ::32] / maxd[:, None]
+        gate = jnp.where(live, lb, BVH_FAR)[:, ::kpb] / maxd[:, None]
     elif fused:
-        gate = (jnp.where(live, lb, BVH_FAR).reshape(T, nbk, 32).min(axis=2)
-                / maxd[:, None])
+        gate = (jnp.where(live, lb, BVH_FAR)
+                .reshape(T, nbk, kpb).min(axis=2) / maxd[:, None])
     else:
         gate = jnp.zeros((T, nbk), jnp.float32)
     # non-finite gates (tiles carrying non-finite rays, e.g. shadow
@@ -1098,13 +1155,13 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         # cover every live block (dead keys inside are guarded in-kernel);
         # the inf-gated dead tail is skipped by the gate early-exit
         n_live_blk = jnp.sum(blk_live, axis=1)
-        cnt_k = jnp.where(jnp.minimum(counts, K) > 0, n_live_blk * 32, 0)
+        cnt_k = jnp.where(jnp.minimum(counts, Kk) > 0, n_live_blk * kpb, 0)
         best_t, _, ku, kv, kp = mt_resolve_fused(
             keys_s, cnt_k, lbg, tmax.reshape(T, 1),
-            o_c, d_t, aux.gtab_pad, k_cap=K,
+            o_c, d_t, aux.gtab_pad, k_cap=Kk,
             interpret=interpret, omap_s=aux.omap_s,
             mt_precision=mt_precision, any_hit=any_hit,
-            leaf_bits=leaf_bits)
+            leaf_bits=leaf_bits, tri_blk=tb_eff)
         # prim/u/v all recovered in-kernel: no (R,)-element XLA gathers
         # (each cost milliseconds: random row gathers waste 15/16 of
         # every (8, 128) granule)
@@ -1122,11 +1179,14 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         best_t, best_i = mt_resolve(o_c, d_t, geom, lbg, tmax,
                                     interpret=interpret)
 
-        # tri index in the sorted list -> leaf row + lane
-        pos = best_i >> 2
-        lane = best_i & 3
+        # tri index in the sorted list -> (segment, leaf-in-segment, lane)
+        pos = best_i // SEG_ROWS
+        within = best_i % SEG_ROWS
+        lane = within & 3
         trow = jnp.arange(T, dtype=jnp.int32)[:, None]
-        row = lrow.reshape(-1)[trow * K + pos]
+        seg = lrow.reshape(-1)[trow * Kk + pos]
+        row = jnp.minimum(seg * SPAN + (within >> 2),
+                          bvh8.leaf_prim.shape[0] - 1)
         best_pk = row * 4 + lane
         best_t = jnp.where(best_t < tmax_r.reshape(T, TILE), best_t,
                            BVH_FAR)
