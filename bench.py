@@ -41,6 +41,16 @@ _REF = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "benchmarks", "ref_baseline.json")
 
 
+def _setup_cache():
+    """Persistent XLA compilation cache: remote compiles through the
+    tunnel cost minutes (r3: warm_primary 577 s); with the cache a
+    rehearsed executable loads in ~0.3 s, which is what lets the bench
+    fit the driver's wall budget AND keep the exact-retrace branch on."""
+    from tinybvh_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
 def _camera_rays(lo, hi, W=640, H=640):
     center = (lo + hi) * 0.5
     extent = float(np.max(hi - lo))
@@ -377,6 +387,7 @@ def _sub_section(section):
     Each section runs in its own subprocess: after a queued-dispatch
     phase the tunnel backend rejects further H2D transfers, so the next
     scene's upload would fail in the same process."""
+    _setup_cache()
     import jax
 
     ref = {}
@@ -575,19 +586,23 @@ def main():
         return
 
     t_start = time.time()
-    deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    # the driver kills bench at ~1500 s wall (BENCH_r03: rc=124 at
+    # 1515 s against a self-budget of 2400) — budget BELOW the kill
+    # line so the final headline JSON always lands with rc=0
+    deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", "1350"))
     detail = {}
     me = os.path.abspath(__file__)
     only = os.environ.get("BENCH_SECTIONS",
                           "bunny,grid4,grid16,inst8,drone,builddev")
     # (name, max budget s, min remaining s required to even start)
-    # bunny capped at 900 s: with the all-host build path its section is
-    # ~350 s (build ~3 s + phase compiles); a runaway compile must not
-    # starve the four later sections. builddev runs LAST: its compile
-    # time is the least predictable and its metric the least critical.
-    plan = [("bunny", 900, 300), ("grid4", 480, 240),
-            ("grid16", 560, 300), ("inst8", 500, 280),
-            ("drone", 420, 200), ("builddev", 420, 150)]
+    # Sized for warm-compilation-cache runs (every executable below is
+    # rehearsed into .jax_cache during development; a cold-cache run
+    # still degrades gracefully section by section). builddev runs
+    # LAST: its compile time is the least predictable and its metric
+    # the least critical.
+    plan = [("bunny", 420, 120), ("grid4", 200, 100),
+            ("grid16", 320, 150), ("inst8", 240, 120),
+            ("drone", 200, 100), ("builddev", 240, 100)]
     for section, max_budget, min_need in plan:
         if section not in only:
             continue

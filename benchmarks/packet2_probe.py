@@ -1,5 +1,12 @@
 """Real-TPU probe for the packet2 pipeline: per-stage + end-to-end timing.
 
+STALE (r3 segment change): stage_gather still decodes cull keys as
+per-leaf ids and stage_fused still builds per-32-key gates, so the
+printed PER-STAGE numbers no longer reflect the production
+segment-granularity pipeline (SPAN/SEG_ROWS) — use split_probe.py for
+current per-stage timing. The end-to-end and agreement checks at the
+end remain valid.
+
 Timing methodology per benchmarks/op_cost_probe.py: jitted calls, input
 varied between repeats where cheap, host transfer forced at the end of each
 timed region. Run standalone on the tunneled TPU (single client!).

@@ -1,9 +1,11 @@
 """Minimal bench-protocol bunny-primary measurement (ONE compile).
 
-Mirrors bench.py's bunny primary phase exactly (max_leaves=512,
-max_blocks=64, retrace=False, amortized over 8 queued dispatches with a
-1-element sliced readback barrier) so kernel changes can be A/B'd on the
-real TPU in ~3 minutes instead of re-running the whole bench section.
+Same measurement protocol as bench.py's bunny primary phase (amortized
+over 8 queued dispatches with a 1-element sliced readback barrier) so
+kernel changes can be A/B'd on the real TPU quickly. Kernel parameters
+(max_leaves / max_blocks / retrace) are set below and may deliberately
+explore configurations ahead of bench.py's — check both before
+comparing numbers across scripts.
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/primary_quick.py
 """
@@ -14,6 +16,9 @@ import numpy as np
 
 
 def main():
+    from tinybvh_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -312,3 +312,32 @@ def test_cull_leaf_bits_20_same_survivors(scene):
                zip(np.asarray(l18)[:n], np.asarray(lb18)[:n])}
         for l, b in zip(np.asarray(l20)[:n], np.asarray(lb20)[:n]):
             assert b <= m18[int(l)] + 1e-6
+
+
+def test_tiny_scene_default_tri_blk(rng=None):
+    """Scenes with fewer gtab rows than the default 256-row MT super-block
+    must still trace correctly: the drain-wait descriptor is sourced from
+    the VMEM scratch (always 2*tri_blk rows), never from gtab_pad, which
+    can have fewer rows than tri_blk on tiny scenes (r3 advisor finding:
+    a gtab_pad-sourced descriptor read out of bounds on the compiled
+    TPU path for scenes under ~230 tris)."""
+    from tinybvh_tpu.core.intersect import brute_force_closest
+
+    rng = np.random.default_rng(11)
+    tris = random_tris(30, seed=3)                    # gtab_pad rows < 256
+    bvh2 = build_binned(tris, max_leaf=4)
+    bvh8 = collapse_bvh2(bvh2, jnp.asarray(tris))
+    aux = build_packet_aux(bvh8)
+    assert aux.gtab_pad.shape[0] < 256
+    o = np.full((256, 3), -3.0, np.float32)
+    d = (np.array([[0.5, 0.5, 0.5]]) +
+         0.1 * rng.normal(size=(256, 3))).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    h, ovf = intersect_packets2(bvh8, aux, rays, max_leaves=512,
+                                interpret=True, retrace=False,
+                                max_blocks=32)
+    ref = brute_force_closest(rays, jnp.asarray(tris))
+    np.testing.assert_allclose(np.asarray(h.t), np.asarray(ref.t),
+                               rtol=1e-4, atol=1e-5)
+    assert int(np.asarray(ovf).sum()) == 0

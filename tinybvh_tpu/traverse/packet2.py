@@ -87,7 +87,7 @@ class PacketAux:
     blk_lo: jnp.ndarray    # (3, NBpad) f32 union boxes of 128-seg blocks
     blk_hi: jnp.ndarray    # (3, NBpad) f32
     gtab: jnp.ndarray      # (L, 4, 48) f32 per-tri [G_det|G_u|G_v|G_t] rows
-    gtab_pad: jnp.ndarray  # (4*Lpad + SEG_ROWS, 128) f32 same rows, lane-
+    gtab_pad: jnp.ndarray  # (4*ceil(L/SPAN)*SPAN + SEG_ROWS, 128) f32, lane-
     #                        padded to 128 so the fused kernel can DMA whole
     #                        (SEG_ROWS, 128) segment blocks (Mosaic HBM
     #                        slices must be 128-lane aligned); leaf rows are
@@ -786,17 +786,20 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
             seg_dma(sb, i, slot).start()
 
     def drain(sb, slot):
-        # ONE aggregate wait per super-block: all _KPB copies of a slot
+        # ONE aggregate wait per super-block: all kpb copies of a slot
         # signal the SAME per-slot semaphore (DMA semaphores count bytes),
         # so a single descriptor covering the whole (tri_blk, 128) buffer
         # half waits for exactly the sum of the segment copies. The
         # previous per-leaf drain re-ran the full scalar address
         # computation (SMEM key load + decode) per leaf just to wait —
         # and the scalar loop, not the matmuls, dominates this kernel
-        # (r3 ablation probe).
+        # (r3 ablation probe). Both descriptor halves point at buf_ref
+        # (shape (2*tri_blk, 128)) — only the BYTE COUNT matters for a
+        # wait, and a gtab_ref source would read out of bounds on scenes
+        # with fewer than tri_blk gtab rows.
         off = pl.multiple_of(slot * tri_blk, tri_blk)
         pltpu.make_async_copy(
-            gtab_ref.at[pl.ds(0, tri_blk), :],
+            buf_ref.at[pl.ds(0, tri_blk), :],
             buf_ref.at[pl.ds(off, tri_blk), :],
             sem_ref.at[slot],
         ).wait()
@@ -932,8 +935,9 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
     (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
     -> (t (T, 256), idx (T, 256), u (T, 256), v (T, 256), prim (T, 256))
-    with idx = position*4+lane into the key list (same convention as
-    mt_resolve over the gathered layout); u/v are the winner's
+    with idx = super_block*tri_blk + row into the walked triangle rows
+    (segment-granularity: key ki covers rows [ki*SEG_ROWS, (ki+1)*SEG_ROWS));
+    u/v are the winner's
     barycentrics; prim the winner's global prim id (-1 = miss).
 
     tiles_per_step: tiles walked per grid step (fixed grid-step cost is

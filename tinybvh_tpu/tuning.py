@@ -21,6 +21,7 @@ convenience layer (api.BVH.intersect) resolve through get_tuning().
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 
@@ -32,22 +33,26 @@ class Tuning:
     max_blocks: int      # cull worklist depth per tile group
     mt_precision: str    # "highest" (MXU 6-pass f32) | "vpu" (exact f32)
     wf_cap_factor: int   # wavefront frontier cap multiplier
+    measured: bool = True   # False = projected row, never validated on HW
 
 
 _TABLES = {
     # measured: bunny/grid4/grid16 probes, 2026-08 (this machine)
     "v5e": Tuning(max_leaves=512, max_blocks=256,
                   mt_precision="highest", wf_cap_factor=8),
-    # projected: same scoped-VMEM ceiling, more HBM bandwidth -> deeper
-    # worklists pay off; MXU f32 throughput scales the same way as v5e
+    # PROJECTED (measured=False): same scoped-VMEM ceiling, more HBM
+    # bandwidth -> deeper worklists pay off; MXU f32 throughput scales
+    # the same way as v5e. get_tuning warns once when resolving these.
     "v5p": Tuning(max_leaves=512, max_blocks=512,
-                  mt_precision="highest", wf_cap_factor=8),
+                  mt_precision="highest", wf_cap_factor=8, measured=False),
     "v6e": Tuning(max_leaves=512, max_blocks=512,
-                  mt_precision="highest", wf_cap_factor=8),
+                  mt_precision="highest", wf_cap_factor=8, measured=False),
     # CPU/interpret: small budgets keep test wall time down
     "cpu": Tuning(max_leaves=256, max_blocks=128,
                   mt_precision="highest", wf_cap_factor=8),
 }
+
+_warned: set[str] = set()
 
 
 def detect_generation() -> str:
@@ -68,4 +73,12 @@ def detect_generation() -> str:
 
 
 def get_tuning(generation: str | None = None) -> Tuning:
-    return _TABLES[generation or detect_generation()]
+    gen = generation or detect_generation()
+    tun = _TABLES[gen]
+    if not tun.measured and gen not in _warned:
+        _warned.add(gen)
+        warnings.warn(
+            f"tuning row for {gen!r} is a projection (never measured on "
+            "hardware); pass explicit kernel parameters to override",
+            stacklevel=2)
+    return tun
