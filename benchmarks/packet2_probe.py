@@ -33,7 +33,7 @@ def main(K=256):
     bvh = BVH(tris)
     bvh8 = bvh.bvh8
     aux = p2.build_packet_aux(bvh8)
-    jax.block_until_ready(aux.gtab)
+    jax.block_until_ready(aux.gtab_pad)
     print("aux ready: L =", aux.n_leaves, flush=True)
 
     lo, hi = bvh.aabb
@@ -158,10 +158,8 @@ def main(K=256):
         _, leaves = p2._decode_keys(keys_s)
         live = keys_s != p2._I32MAX
         lrow = jnp.where(live, leaves, 0)
-        gflat = aux.gtab.reshape(-1, 48)
-        zrow = jnp.int32(gflat.shape[0])
-        gflat = jnp.concatenate(
-            [gflat, jnp.zeros((1, 48), jnp.float32)], axis=0)
+        gflat = aux.gtab_pad[:, :48]
+        zrow = jnp.int32(4 * aux.n_leaf_rows)
         lanes4 = jnp.arange(4, dtype=jnp.int32)
         tri_idx = jnp.where(live[:, :, None],
                             lrow[:, :, None] * 4 + lanes4,

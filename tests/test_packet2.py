@@ -52,7 +52,7 @@ def test_g_rows_match_moller_trumbore(scene):
     # near-degenerate sample would make this flaky in full-suite runs
     rng = np.random.default_rng(7)
     tris, bvh8, aux = scene
-    g = np.asarray(aux.gtab).reshape(-1, 48)
+    g = np.asarray(aux.gtab_pad[:4 * aux.n_leaves, :48])
     lt = np.asarray(bvh8.leaf_tris).reshape(-1, 3, 3)
     lp = np.asarray(bvh8.leaf_prim).reshape(-1)
     c0 = np.asarray(aux.center)
@@ -312,6 +312,37 @@ def test_cull_leaf_bits_20_same_survivors(scene):
                zip(np.asarray(l18)[:n], np.asarray(lb18)[:n])}
         for l, b in zip(np.asarray(l20)[:n], np.asarray(lb20)[:n]):
             assert b <= m18[int(l)] + 1e-6
+
+
+def test_cull_chunked_matches_single_pass(scene):
+    """The chunked K1b compaction (accumulator merged per worklist chunk)
+    must produce the same survivor SETS and counts as a single-pass cull,
+    at every chunk size — including chunk=1 (one block per merge) which
+    exercises the accumulator carry hardest."""
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=4)
+    T = 4
+    o4 = jnp.asarray(o.reshape(T, 256, 3))
+    d4 = jnp.asarray(d.reshape(T, 256, 3))
+    planes = _tile_planes(o4[:, 0], d4)
+    posn = jnp.maximum(planes, 0.0)
+    negn = jnp.minimum(planes, 0.0)
+    olo, ohi = o4.min(axis=1), o4.max(axis=1)
+    thresh = (jnp.einsum("tpk,tk->tp", posn, olo)
+              + jnp.einsum("tpk,tk->tp", negn, ohi))
+    kw = dict(k_cap=256, interpret=True, max_blocks=8)
+    k_ref, c_ref = cull_tiles(aux, posn, negn, thresh, olo, ohi,
+                              chunk_blocks=8, **kw)   # single-pass path
+    for chunk in (1, 2, 3):
+        k, c = cull_tiles(aux, posn, negn, thresh, olo, ohi,
+                          chunk_blocks=chunk, **kw)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+        for t in range(T):
+            n = int(np.asarray(c_ref)[t])
+            got = set(np.asarray(k)[t, :n].tolist())
+            want = set(np.asarray(k_ref)[t, :n].tolist())
+            assert got == want
+            assert (np.asarray(k)[t, n:] == _I32MAX).all()
 
 
 def test_tiny_scene_default_tri_blk(rng=None):

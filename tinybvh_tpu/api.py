@@ -102,8 +102,20 @@ class BVH:
         if layout == "bvh8" and self.leaf_max <= 4:
             from tinybvh_tpu.layouts.mbvh import BVH8, collapse_bvh2
 
-            h8 = collapse_bvh2(self._bvh2, tris_host, host=self._host,
-                               as_host=True)
+            h8 = None
+            if self._host is not None:
+                # native C collapse + leaf combining (builder.c): packs
+                # ~2-tris/leaf SAH trees into 4-tri leaves (≙ the
+                # CombineLeafs(4) preprocessing of BVH8_CPU,
+                # tiny_bvh.h:5463-5465) and replaces the 15 s/Mtri
+                # python collapse loop
+                from tinybvh_tpu.native import collapse_bvh8_native
+
+                h8 = collapse_bvh8_native(self._host, tris_host,
+                                          combine=cfg.leaf_combine)
+            if h8 is None:
+                h8 = collapse_bvh2(self._bvh2, tris_host, host=self._host,
+                                   as_host=True)
             self._bvh8_host = h8
             self.bvh8 = BVH8(
                 bounds=jnp.asarray(h8["bounds"]),

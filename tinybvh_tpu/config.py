@@ -21,6 +21,10 @@ class Config:
     c_trav: float = 1.0
     c_int: float = 1.0
     max_leaf: int = 4
+    # pack subtrees of <= this many prims into one wide-layout leaf during
+    # the native collapse (≙ CombineLeafs(4) before BVH8_CPU conversion,
+    # tiny_bvh.h:5463-5465); 0 = keep the raw SAH leaves (~2 tris/leaf)
+    leaf_combine: int = 4
     sbvh_slack: float = 0.5        # spatial-split fragment pool headroom
     # traversal
     # leaf triangle test for the lockstep/wavefront engines: "mt",

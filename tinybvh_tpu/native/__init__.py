@@ -47,6 +47,18 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        fc = lib.tinybvh_collapse_bvh8
+        fc.restype = ctypes.c_int32
+        fc.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = None
@@ -55,6 +67,52 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def collapse_bvh8_native(host: dict, tris, width: int = 8,
+                         combine: int = 4):
+    """C 8-wide collapse with on-the-fly leaf combining (builder.c:
+    tinybvh_collapse_bvh8) — ≙ CombineLeafs(4) + MBVH<8>::ConvertFrom
+    (tiny_bvh.h:3099-3139, 4975-5048) fused into one native pass.
+
+    host: dict from build_binned_native(return_host=True) (node_min/max,
+    left_first, count, prim_idx, n_nodes). tris: (N, 3, 3) float32.
+    combine: subtrees whose prims form a contiguous range of <= combine
+    become single packed leaves (0 = plain collapse, python-twin parity).
+    Returns dict(bounds, child, leaf_tris, leaf_prim) like
+    collapse_bvh2(as_host=True), or None (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(np.asarray(tris, np.float32).reshape(-1, 9))
+    n_tris = tris.shape[0]
+    n_nodes = int(host["n_nodes"])
+    node_min = np.ascontiguousarray(host["node_min"][:n_nodes], np.float32)
+    node_max = np.ascontiguousarray(host["node_max"][:n_nodes], np.float32)
+    left_first = np.ascontiguousarray(host["left_first"][:n_nodes], np.int32)
+    count = np.ascontiguousarray(host["count"][:n_nodes], np.int32)
+    prim_idx = np.ascontiguousarray(host["prim_idx"], np.int32)
+    cap_n = max(n_nodes, 2)
+    cap_l = n_tris + 8
+    bounds = np.empty((cap_n, 48), np.float32)
+    child = np.empty((cap_n, 8), np.int32)
+    leaf_tris = np.empty((cap_l, 36), np.float32)
+    leaf_prim = np.empty((cap_l, 4), np.int32)
+    n_leaves = np.zeros(1, np.int32)
+
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    pi = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    n_out = lib.tinybvh_collapse_bvh8(
+        p(node_min), p(node_max), pi(left_first), pi(count), n_nodes,
+        pi(prim_idx), p(tris), width, 4, combine,
+        p(bounds), pi(child), p(leaf_tris), pi(leaf_prim), pi(n_leaves))
+    if n_out < 0:
+        return None
+    nl = int(n_leaves[0])
+    return dict(bounds=bounds[:n_out].copy(),
+                child=child[:n_out].copy(),
+                leaf_tris=leaf_tris[:nl].reshape(nl, 4, 3, 3).copy(),
+                leaf_prim=leaf_prim[:nl].copy())
 
 
 def build_binned_native(tris, max_leaf: int = 4, return_host: bool = False,

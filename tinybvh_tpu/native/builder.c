@@ -325,3 +325,169 @@ int32_t tinybvh_build_binned(
     free(frag8);
     return c.n_used;
 }
+
+/* ------------------------------------------------------------------ */
+/* 8-wide collapse with on-the-fly leaf combining.
+ *
+ * ≙ BVH::CombineLeafs(4) + MBVH<8>::ConvertFrom + BVH8_CPU leaf packing
+ * (tiny_bvh.h:3099-3139, 4975-5048, 5692-5761), fused into one native
+ * pass: walking the BVH2 is serial-recursive and latency-bound (the
+ * numpy/python collapse measured 15 s on a 1.1M-tri scene), so like the
+ * builders it runs in C. Emits the SoA wide layout of layouts/mbvh.py:
+ * bounds rows [minx*8|miny*8|minz*8|maxx*8|maxy*8|maxz*8], child words
+ * (>=0 node row, <0 leaf row -(c+1), EMPTY_SLOT unused), and packed
+ * (L,4,3,3) leaf triangles padded with zeros.
+ *
+ * combine > 0: any subtree whose primitives form a CONTIGUOUS prim_idx
+ * range of <= combine prims becomes one leaf (binned SAH splits to ~2
+ * tris/leaf at max_leaf=4; packing 4-tri leaves halves the leaf count,
+ * the packet G-table size and the dense-MT padding waste). Contiguity
+ * is verified per subtree (end-start == total), so optimizer-shuffled
+ * trees degrade safely to plain collapse.                               */
+
+#define EMPTY_SLOT (-2147483647)   /* == layouts.mbvh.EMPTY_SLOT */
+
+typedef struct { int32_t b2node, row; } citem_t;
+
+int32_t tinybvh_collapse_bvh8(
+    const float *node_min, const float *node_max,     /* (M,3) */
+    const int32_t *left_first, const int32_t *cnt, int32_t n_nodes,
+    const int32_t *prim_idx, const float *tris,       /* (N,9) */
+    int32_t width, int32_t leaf_width, int32_t combine,
+    float *bounds,       /* (capN,48) out */
+    int32_t *child,      /* (capN,8) out */
+    float *leaf_tris,    /* (capL,36) out */
+    int32_t *leaf_prim,  /* (capL,4) out */
+    int32_t *n_leaves_out)
+{
+    if (width < 2 || width > 8 || leaf_width != 4) return -1;
+    /* subtree prim totals + range [start, end): children always have
+     * higher indices than their parent in the builders' layouts, so one
+     * reverse sweep suffices; bail out (-1 -> caller falls back) if the
+     * ordering is violated (e.g. an externally re-linked tree). */
+    int64_t *total = (int64_t *)malloc((size_t)n_nodes * 8);
+    int32_t *stt = (int32_t *)malloc((size_t)n_nodes * 4);
+    int32_t *end = (int32_t *)malloc((size_t)n_nodes * 4);
+    citem_t *work = (citem_t *)malloc((size_t)n_nodes * sizeof(citem_t));
+    if (!total || !stt || !end || !work) {
+        free(total); free(stt); free(end); free(work);
+        return -1;
+    }
+    for (int32_t i = n_nodes - 1; i >= 0; i--) {
+        if (i == 1) { total[i] = 0; stt[i] = 0; end[i] = 0; continue; }
+        if (cnt[i] > 0) {
+            total[i] = cnt[i];
+            stt[i] = left_first[i];
+            end[i] = left_first[i] + cnt[i];
+        } else {
+            int32_t l = left_first[i];
+            if (l <= i || l + 1 >= n_nodes) {   /* ordering violated */
+                free(total); free(stt); free(end); free(work);
+                return -1;
+            }
+            total[i] = total[l] + total[l + 1];
+            stt[i] = stt[l] < stt[l + 1] ? stt[l] : stt[l + 1];
+            end[i] = end[l] > end[l + 1] ? end[l] : end[l + 1];
+        }
+    }
+
+    int32_t n_out = 0, n_leaf = 0;
+
+    /* effective leaf: a real BVH2 leaf, or (combine) a small contiguous
+     * subtree */
+#define IS_LEAF(c) (cnt[c] > 0 || (combine > 0 && total[c] <= combine \
+                    && (int64_t)(end[c] - stt[c]) == total[c]))
+
+#define ADD_LEAF(c, dst) do {                                        \
+        int32_t first_, cnt_;                                        \
+        if (cnt[c] > 0) { first_ = left_first[c]; cnt_ = cnt[c]; }   \
+        else { first_ = stt[c]; cnt_ = (int32_t)total[c]; }          \
+        int32_t li_ = n_leaf++;                                      \
+        int32_t *lp_ = leaf_prim + 4 * li_;                          \
+        float *lt_ = leaf_tris + 36 * li_;                           \
+        for (int k_ = 0; k_ < 4; k_++) {                             \
+            if (k_ < cnt_) {                                         \
+                int32_t p_ = prim_idx[first_ + k_];                  \
+                lp_[k_] = p_;                                        \
+                memcpy(lt_ + 9 * k_, tris + 9 * p_, 36);             \
+            } else {                                                 \
+                lp_[k_] = -1;                                        \
+                memset(lt_ + 9 * k_, 0, 36);                         \
+            }                                                        \
+        }                                                            \
+        (dst) = -(li_ + 1);                                          \
+    } while (0)
+
+    if (IS_LEAF(0)) {
+        /* root is (or combines to) a leaf: one node, one leaf child */
+        float *rb = bounds;
+        int32_t *rc = child;
+        for (int k = 0; k < 24; k++) rb[k] = 1e30f;   /* BVH_FAR */
+        for (int k = 24; k < 48; k++) rb[k] = -1e30f;
+        for (int k = 0; k < 8; k++) rc[k] = EMPTY_SLOT;
+        for (int k = 0; k < 3; k++) {
+            rb[8 * k] = node_min[k];
+            rb[24 + 8 * k] = node_max[k];
+        }
+        ADD_LEAF(0, rc[0]);
+        n_out = 1;
+    } else {
+        int32_t sp = 0;
+        work[sp].b2node = 0;
+        work[sp].row = n_out++;
+        sp++;
+        while (sp > 0) {
+            citem_t it = work[--sp];
+            int32_t kids[8];
+            int nk = 2;
+            kids[0] = left_first[it.b2node];
+            kids[1] = left_first[it.b2node] + 1;
+            /* grow: replace the largest-area interior child by its
+             * children (≙ tiny_bvh.h:4997-5009) */
+            while (nk < width) {
+                int best = -1;
+                float best_a = -1.0f;
+                for (int k = 0; k < nk; k++) {
+                    int32_t c = kids[k];
+                    if (IS_LEAF(c)) continue;
+                    float a = half_area(node_min + 3 * c, node_max + 3 * c);
+                    if (a > best_a) { best_a = a; best = k; }
+                }
+                if (best < 0) break;
+                int32_t c = kids[best];
+                /* shift-left removal keeps slot order identical to the
+                 * python twin (layouts/mbvh.py: kids.pop + extend) */
+                for (int k = best; k < nk - 1; k++) kids[k] = kids[k + 1];
+                nk--;
+                kids[nk++] = left_first[c];
+                kids[nk++] = left_first[c] + 1;
+            }
+            float *rb = bounds + 48 * it.row;
+            int32_t *rc = child + 8 * it.row;
+            for (int k = 0; k < 24; k++) rb[k] = 1e30f;   /* BVH_FAR */
+            for (int k = 24; k < 48; k++) rb[k] = -1e30f;
+            for (int k = 0; k < 8; k++) rc[k] = EMPTY_SLOT;
+            for (int k = 0; k < nk; k++) {
+                int32_t c = kids[k];
+                for (int a = 0; a < 3; a++) {
+                    rb[8 * a + k] = node_min[3 * c + a];
+                    rb[24 + 8 * a + k] = node_max[3 * c + a];
+                }
+                if (IS_LEAF(c)) {
+                    ADD_LEAF(c, rc[k]);
+                } else {
+                    int32_t row = n_out++;
+                    rc[k] = row;
+                    work[sp].b2node = c;
+                    work[sp].row = row;
+                    sp++;
+                }
+            }
+        }
+    }
+#undef ADD_LEAF
+#undef IS_LEAF
+    free(total); free(stt); free(end); free(work);
+    *n_leaves_out = n_leaf;
+    return n_out;
+}

@@ -86,29 +86,35 @@ class PacketAux:
     leaf_hi: jnp.ndarray   # (3, Spad) f32 segment AABB highs (-FAR padding)
     blk_lo: jnp.ndarray    # (3, NBpad) f32 union boxes of 128-seg blocks
     blk_hi: jnp.ndarray    # (3, NBpad) f32
-    gtab: jnp.ndarray      # (L, 4, 48) f32 per-tri [G_det|G_u|G_v|G_t] rows
-    gtab_pad: jnp.ndarray  # (4*ceil(L/SPAN)*SPAN + SEG_ROWS, 128) f32, lane-
+    gtab_pad: jnp.ndarray  # (4*ceil(L/SPAN)*SPAN + SEG_ROWS, 128) f32:
+    #                        per-tri [G_det|G_u|G_v|G_t] 48-lane rows, lane-
     #                        padded to 128 so the fused kernel can DMA whole
     #                        (SEG_ROWS, 128) segment blocks (Mosaic HBM
     #                        slices must be 128-lane aligned); leaf rows are
     #                        zero-padded to a SPAN multiple + one all-zero
-    #                        sentinel segment for dead keys
-    center: jnp.ndarray    # (3,) f32 scene center subtracted from gtab
+    #                        sentinel segment for dead keys. The gathered-
+    #                        layout path reads its G rows from [:4L, :48]
+    #                        (there is no separate (L, 4, 48) copy: it cost
+    #                        an extra ~0.5 GB host assembly + upload per
+    #                        Mtri — r4).
+    center: jnp.ndarray    # (3,) f32 scene center subtracted from the rows
     # opacity micromaps ride along in gtab_pad lanes 48:48+ceil(S*S/16)
     # (16 bits per f32 word — exact under int<->float conversion), so the
     # fused MT kernel's alpha test costs no extra DMA. omap keeps the raw
     # (L, 4, S, S) table for the wavefront retrace path.
     omap: jnp.ndarray | None = None
     omap_s: int = struct.field(pytree_node=False, default=0)
+    # leaf-row count L (static: gtab_pad's row count bakes in padding)
+    n_leaf_rows: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_leaves(self):
-        return self.gtab.shape[0]
+        return self.n_leaf_rows
 
     @property
     def n_segs(self):
         """Real (non-padding) cull segments."""
-        return -(-self.gtab.shape[0] // SPAN)
+        return -(-self.n_leaf_rows // SPAN)
 
     @property
     def n_blocks(self):
@@ -198,9 +204,9 @@ def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
         [gtab_pad, jnp.zeros((tail, gtab_pad.shape[1]), jnp.float32)],
         axis=0)
     return PacketAux(leaf_lo=lo_p.T, leaf_hi=hi_p.T,
-                     blk_lo=blo.T, blk_hi=bhi.T, gtab=gtab,
+                     blk_lo=blo.T, blk_hi=bhi.T,
                      gtab_pad=gtab_pad, center=center,
-                     omap=omap, omap_s=S)
+                     omap=omap, omap_s=S, n_leaf_rows=L)
 
 
 def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
@@ -240,16 +246,26 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     e2 = lt[:, :, 2] - lt[:, :, 0]
     n = np.cross(e1, e2)
     k = np.sum(n * v0, axis=-1, keepdims=True)
-    z3 = np.zeros_like(v0)
-    z1 = np.zeros_like(k)
-    z2 = np.zeros(v0.shape[:-1] + (2,), np.float32)
-    g_det = np.concatenate([n, z3, z3, z1, z2], axis=-1)
-    g_u = np.concatenate([-np.cross(v0, e2), -e2, z3, z1, z2], axis=-1)
-    g_v = np.concatenate([np.cross(v0, e1), e1, z3, z1, z2], axis=-1)
-    g_t = np.concatenate([z3, z3, -n, k, z2], axis=-1)
-    tri_ok = (lp >= 0)[..., None]
-    gtab = np.where(tri_ok, np.concatenate(
-        [g_det, g_u, g_v, g_t], axis=-1), 0.0).astype(np.float32)
+    tri_ok = (lp >= 0).reshape(4 * L, 1)
+
+    # assemble straight into the padded (rows, 128) table: the earlier
+    # chain of (4L, 48/128) concatenates materialized ~1.2 GB three times
+    # over on Mtri-scale scenes (measured 72 s of the grid16 aux build)
+    lseg = -(-L // SPAN) * SPAN
+    rows = 4 * lseg + SEG_ROWS
+    gtab_pad = np.zeros((rows, 128), np.float32)
+
+    def put(col, arr3):
+        gtab_pad[:4 * L, col:col + 3] = np.where(
+            tri_ok, arr3.reshape(4 * L, 3), 0.0)
+
+    put(0, n)                      # G_det = [n, 0...]
+    put(12, -np.cross(v0, e2))     # G_u = [-(v0 x e2), -e2, 0...]
+    put(15, -e2)
+    put(24, np.cross(v0, e1))      # G_v = [(v0 x e1), e1, 0...]
+    put(27, e1)
+    put(42, -n)                    # G_t = [0,0,0 0,0,0 -n, n.v0, 0, 0]
+    gtab_pad[:4 * L, 45:46] = np.where(tri_ok, k.reshape(4 * L, 1), 0.0)
 
     nb = lpad // (LANES * SPAN)
     blo = lo_p.reshape(nb, LANES, 3).min(axis=1)
@@ -260,8 +276,8 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     bhi = np.concatenate(
         [bhi, np.full((nbpad - nb, 3), -BVH_FAR, np.float32)], axis=0)
     if omap is None:
-        ow = np.zeros((4 * L, 0), np.float32)
         S = 0
+        nw = 0
         omap_dev = None
     else:
         omap = np.asarray(omap)
@@ -273,25 +289,17 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
             [bits, np.zeros((4 * L, pad_b), np.int32)], axis=1)
         w = np.sum(bits.reshape(4 * L, nw, 16)
                    << np.arange(16, dtype=np.int32), axis=2)
-        ow = w.astype(np.float32)
+        gtab_pad[:4 * L, 48:48 + nw] = w.astype(np.float32)
         omap_dev = jnp.asarray(omap)
-    pid = lp.reshape(4 * L, 1).astype(np.int32).view(np.float32)
-    gtab_pad = np.concatenate(
-        [gtab.reshape(-1, 48), ow, pid,
-         np.zeros((4 * L, 127 - 48 - ow.shape[1]), np.float32)], axis=1)
-    # pad-leaf zero rows + sentinel segment (see build_packet_aux)
-    lseg = -(-L // SPAN) * SPAN
-    tail = 4 * (lseg - L) + SEG_ROWS
-    gtab_pad = np.concatenate(
-        [gtab_pad, np.zeros((tail, gtab_pad.shape[1]), np.float32)], axis=0)
+    gtab_pad[:4 * L, 48 + nw:49 + nw] = (
+        lp.reshape(4 * L, 1).astype(np.int32).view(np.float32))
     return PacketAux(leaf_lo=jnp.asarray(lo_p.T.copy()),
                      leaf_hi=jnp.asarray(hi_p.T.copy()),
                      blk_lo=jnp.asarray(blo.T.copy()),
                      blk_hi=jnp.asarray(bhi.T.copy()),
-                     gtab=jnp.asarray(gtab),
                      gtab_pad=jnp.asarray(gtab_pad),
                      center=jnp.asarray(center),
-                     omap=omap_dev, omap_s=S)
+                     omap=omap_dev, omap_s=S, n_leaf_rows=L)
 
 
 # --------------------------------------------------------------------------
@@ -408,84 +416,122 @@ def _cull_blocks_kernel(desc_ref, blo_ref, bhi_ref,
     lax.fori_loop(0, nbl, body, 0)
 
 
+CULL_CHUNK = 32   # K1b worklist blocks compacted per chunk (scratch size)
+
+
 def _cull_kernel(nblk_ref, wl_ref, desc_ref, llo_ref, lhi_ref, keys_ref,
                  cnt_ref, tmp_ref, *, n_leaves, k_cap, max_blocks,
-                 leaf_bits=_LEAF_BITS):
+                 leaf_bits=_LEAF_BITS, chunk_blocks=CULL_CHUNK):
     """K1b: fine tier — walk this group's surviving-block worklist (SMEM,
     cheap scalar reads), frustum-test the 128 leaves of each block, and
     write each block's per-tile survivor keys to a SLOT-ALIGNED scratch
-    column (slot j = worklist entry j), then compact all 8 tiles' rows
-    with ONE butterfly pass over the whole scratch at the end.
+    column, merging survivors into a per-tile key accumulator one CHUNK
+    of worklist blocks at a time.
 
-    The earlier per-(tile, block) merge ran a 256-lane butterfly under a
-    lax.cond for every tile of every surviving block — measured 43 ms on
-    bunny (16k tiny (1,256) compactions dominated). Slot-aligned writes
-    make the loop body branch-free vector code, and the single final
-    (8, max_blocks*128) compaction amortizes the butterfly across the
-    whole group. The loop's trip count is the group's LIVE block count
-    (SMEM scalar), not max_blocks — dead slots are covered by one vector
-    scratch init instead of 128-iteration cond branches."""
+    CHUNKED compaction (r4): the scratch holds only chunk_blocks slots
+    (not max_blocks), and each chunk's slot-aligned keys are butterfly-
+    compacted together with the running accumulator (a carried
+    (TB, ACCp) value), then truncated back to ACCp. This makes the
+    worklist depth max_blocks a pure SMEM-list bound: VMEM scratch and
+    butterfly register pressure are FIXED (the old single full-width
+    compaction needed ~5 live (TB, max_blocks*128) i32 temporaries —
+    20 MB at max_blocks=1024, over the 16 MB VMEM ceiling), and the
+    compaction cost now scales with the group's LIVE block count rather
+    than the static max_blocks. Deep worklists for wide frusta
+    (from-light shadow bundles, grid16-scale scenes with >256 blocks)
+    become affordable, which is what lets every bench phase trace exact.
+
+    Earlier designs, both measured worse: per-(tile, block) 256-lane
+    butterflies under lax.cond (43 ms on bunny — 16k tiny compactions),
+    and one full-width (TB, max_blocks*128) compaction (VMEM ceiling at
+    depth >256 and cost independent of live count)."""
     lanes = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    tmp_ref[:, :] = jnp.full((TB, max_blocks * LANES), _I32MAX, jnp.int32)
     nblk = jnp.minimum(nblk_ref[0, 0, 0], max_blocks)
     desc = desc_ref[:, :]
 
-    def wl_body(j, _):
-        blk = wl_ref[0, 0, j]
-        off_s = pl.multiple_of(j * LANES, LANES)
-        off_l = pl.multiple_of(blk * LANES, LANES)
-        lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
-        hi = lhi_ref[:, pl.ds(off_l, LANES)]
-        passed = _frustum_pass(desc, lo, hi)
-        passed = passed & ((blk * LANES + lanes) < n_leaves)
+    chunk = min(chunk_blocks, max_blocks)
+    W = chunk * LANES
+    # accumulator width: key budget rounded up to a lane multiple
+    accp = max(-(-k_cap // LANES) * LANES, LANES)
+    # static fast path: one chunk covers the worklist AND is wide enough
+    # to slice the accumulator from — no merge, old single-pass behavior
+    single = max_blocks <= chunk and W >= accp
+    mw = W if single else accp + W
+    lanes_m = lax.broadcasted_iota(jnp.int32, (TB, mw), 1)
+    nchunks = (nblk + chunk - 1) // chunk
 
-        # conservative origin-box -> leaf-box distance (lower bound on
-        # any tile ray's t to reach the leaf, for unit directions)
-        g2 = jnp.zeros((TB, LANES), jnp.float32)
-        for k in range(3):
-            gk = jnp.maximum(
-                desc[:, _D_OLO + k:_D_OLO + k + 1] - hi[k:k + 1, :],
-                lo[k:k + 1, :] - desc[:, _D_OHI + k:_D_OHI + k + 1])
-            gk = jnp.maximum(gk, 0.0)
-            g2 = g2 + gk * gk
-        lb = jnp.sqrt(g2)
-        # reach cap: a leaf farther than every ray's world-distance bound
-        # (root-box exit x |d|, or the occlusion cutoff) can never be hit
-        # — drop it here so it neither costs MT work nor counts toward
-        # the overflow budget (from-light shadow frusta sweep far past
-        # the receivers without this)
-        passed = passed & (lb < desc[:, _D_TCAP:_D_TCAP + 1])
-        lbb = lax.bitcast_convert_type(lb, jnp.int32)
-        # truncating MORE mantissa bits for bigger scenes keeps the
-        # decoded lb a LOWER bound (floats round toward zero), so gates
-        # and near-to-far ordering stay conservative
-        key_all = ((lbb >> leaf_bits) << leaf_bits) | (
-            blk * LANES + lanes)
-        tmp_ref[:, pl.ds(off_s, LANES)] = jnp.where(
-            passed, key_all, _I32MAX)
-        return 0
+    def chunk_body(c, carry):
+        acc, total = carry
+        tmp_ref[:, :] = jnp.full((TB, W), _I32MAX, jnp.int32)
+        base = c * chunk
 
-    lax.fori_loop(0, nblk, wl_body, 0)
+        def wl_body(j, _):
+            blk = wl_ref[0, 0, base + j]
+            off_s = pl.multiple_of(j * LANES, LANES)
+            off_l = pl.multiple_of(blk * LANES, LANES)
+            lo = llo_ref[:, pl.ds(off_l, LANES)]      # (3, 128)
+            hi = lhi_ref[:, pl.ds(off_l, LANES)]
+            passed = _frustum_pass(desc, lo, hi)
+            passed = passed & ((blk * LANES + lanes) < n_leaves)
 
-    width = max_blocks * LANES
-    lanes_w = lax.broadcasted_iota(jnp.int32, (TB, width), 1)
-    # NOTE: a lax.cond-gated pass-skip bounded by the live worklist width
-    # was tried here and measured SLOWER (bunny cull 5.2 -> 6.9 ms): the
-    # per-pass scf.if costs more than the skipped rolls save. Width comes
-    # down via max_blocks (per-scene tuning) instead.
-    comp = _compact_left(tmp_ref[:, :], lanes_w)
-    counts = jnp.sum((tmp_ref[:, :] != _I32MAX).astype(jnp.int32), axis=1,
-                     keepdims=True)
-    comp = jnp.where(lanes_w < counts, comp, _I32MAX)
-    keys_ref[:, :] = comp[:, :k_cap]
+            # conservative origin-box -> leaf-box distance (lower bound
+            # on any tile ray's t to reach the leaf, for unit directions)
+            g2 = jnp.zeros((TB, LANES), jnp.float32)
+            for k in range(3):
+                gk = jnp.maximum(
+                    desc[:, _D_OLO + k:_D_OLO + k + 1] - hi[k:k + 1, :],
+                    lo[k:k + 1, :] - desc[:, _D_OHI + k:_D_OHI + k + 1])
+                gk = jnp.maximum(gk, 0.0)
+                g2 = g2 + gk * gk
+            lb = jnp.sqrt(g2)
+            # reach cap: a leaf farther than every ray's world-distance
+            # bound (root-box exit x |d|, or the occlusion cutoff) can
+            # never be hit — drop it here so it neither costs MT work nor
+            # counts toward the overflow budget (from-light shadow frusta
+            # sweep far past the receivers without this)
+            passed = passed & (lb < desc[:, _D_TCAP:_D_TCAP + 1])
+            lbb = lax.bitcast_convert_type(lb, jnp.int32)
+            # truncating MORE mantissa bits for bigger scenes keeps the
+            # decoded lb a LOWER bound (floats round toward zero), so
+            # gates and near-to-far ordering stay conservative
+            key_all = ((lbb >> leaf_bits) << leaf_bits) | (
+                blk * LANES + lanes)
+            tmp_ref[:, pl.ds(off_s, LANES)] = jnp.where(
+                passed, key_all, _I32MAX)
+            return 0
+
+        jmax = jnp.minimum(nblk - base, chunk)
+        lax.fori_loop(0, jmax, wl_body, 0)
+
+        chunkv = tmp_ref[:, :]
+        cnt_c = jnp.sum((chunkv != _I32MAX).astype(jnp.int32), axis=1,
+                        keepdims=True)
+        if single:
+            # one chunk covers the whole worklist: compact it directly
+            comp = _compact_left(chunkv, lanes_m)
+            comp = jnp.where(lanes_m < cnt_c, comp, _I32MAX)
+            return comp[:, :accp], cnt_c
+        # acc holds min(total, accp) live keys; merge, compact, mask the
+        # duplicate tail the butterfly moves leave behind, re-truncate
+        stored = jnp.minimum(total, accp)
+        merged = jnp.concatenate([acc, chunkv], axis=1)
+        comp = _compact_left(merged, lanes_m)
+        comp = jnp.where(lanes_m < stored + cnt_c, comp, _I32MAX)
+        return comp[:, :accp], total + cnt_c
+
+    acc0 = jnp.full((TB, accp), _I32MAX, jnp.int32)
+    tot0 = jnp.zeros((TB, 1), jnp.int32)
+    acc, counts = lax.fori_loop(0, nchunks, chunk_body, (acc0, tot0))
+    keys_ref[:, :] = acc[:, :k_cap]
     cnt_ref[:, :] = counts
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "max_blocks",
-                                   "leaf_bits"))
+                                   "leaf_bits", "chunk_blocks"))
 def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
                k_cap: int = 256, interpret: bool = False,
-               max_blocks: int = 128, leaf_bits: int = _LEAF_BITS):
+               max_blocks: int = 128, leaf_bits: int = _LEAF_BITS,
+               chunk_blocks: int = CULL_CHUNK):
     """Two-level dense frustum cull: per tile the (lb|segment) keys of
     every SPAN-leaf segment whose union AABB intersects the tile frustum
     (unordered, live keys compacted to the front, I32MAX padded) +
@@ -559,7 +605,8 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
         G, 1, 1)
     keys, cnt = pl.pallas_call(
         partial(_cull_kernel, n_leaves=aux.n_segs, k_cap=k_cap,
-                max_blocks=max_blocks, leaf_bits=leaf_bits),
+                max_blocks=max_blocks, leaf_bits=leaf_bits,
+                chunk_blocks=chunk_blocks),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
@@ -588,7 +635,8 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TB, max_blocks * LANES), jnp.int32)],
+            pltpu.VMEM((TB, min(chunk_blocks, max_blocks) * LANES),
+                       jnp.int32)],
         interpret=interpret,
     )(nblk_in, wl, desc, aux.leaf_lo, aux.leaf_hi)
     counts = cnt.reshape(tp)
@@ -1118,13 +1166,12 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     if not fused:
         # per-triangle row gather straight into kernel layout ((T, K4, 48),
         # no post-gather reshape across the 128-lane padding); dead entries
-        # point at an all-zero sentinel row (det = 0 -> never hits).
-        # gtab_pad's trailing rows (pad leaves + sentinel segment) are
-        # already zero, so whole dead segments gather harmlessly.
-        gflat = aux.gtab.reshape(-1, 48)
-        zrow = jnp.int32(gflat.shape[0])
-        gflat = jnp.concatenate(
-            [gflat, jnp.zeros((1, 48), jnp.float32)], axis=0)
+        # point at an all-zero row (det = 0 -> never hits). gtab_pad's
+        # trailing rows (pad leaves + sentinel segment) are already zero,
+        # so whole dead segments gather harmlessly; the G rows are its
+        # first 48 lanes (no separate (L, 4, 48) copy exists — r4).
+        gflat = aux.gtab_pad[:, :48]
+        zrow = jnp.int32(4 * aux.n_leaf_rows)
         lanes_s = jnp.arange(SEG_ROWS, dtype=jnp.int32)
         tri_idx = jnp.where(
             live[:, :, None],
