@@ -158,3 +158,93 @@ def test_full_sweep_builder(rng):
     ref = brute_force_closest(rays, jnp.asarray(tris))
     miss = np.asarray(ref.prim) < 0
     np.testing.assert_array_equal(np.asarray(hits.prim) < 0, miss)
+
+
+def test_refit_bvh8_matches_brute_force(rng):
+    """Direct 8-wide refit (≙ MBVH<8>::Refit, tiny_bvh.h:4925-4961):
+    deform, refit on device, traversal must stay exact."""
+    from tinybvh_tpu.builders.refit import bvh8_refit_plan, refit_bvh8
+    from tinybvh_tpu.core.intersect import brute_force_closest
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+    from tinybvh_tpu.traverse.wide import intersect_bvh8
+
+    tris = random_tris(900, seed=17)
+    bvh2 = build_binned(tris, max_leaf=4)
+    bvh8 = collapse_bvh2(bvh2, tris)
+    # deform: anisotropic scale + translation + per-vertex jitter
+    moved = (np.asarray(tris) * np.array([1.3, 0.7, 1.0], np.float32)
+             + np.array([2.0, -1.0, 0.5], np.float32)
+             + rng.normal(scale=0.02, size=tris.shape).astype(np.float32))
+    plan = bvh8_refit_plan(np.asarray(bvh8.child))
+    r8 = refit_bvh8(bvh8, moved, plan)
+    # topology untouched
+    np.testing.assert_array_equal(np.asarray(r8.child),
+                                  np.asarray(bvh8.child))
+    np.testing.assert_array_equal(np.asarray(r8.leaf_prim),
+                                  np.asarray(bvh8.leaf_prim))
+    o = rng.uniform(-3, 14, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    hits = intersect_bvh8(r8, rays)
+    ref = brute_force_closest(rays, jnp.asarray(moved))
+    miss = np.asarray(ref.prim) < 0
+    np.testing.assert_array_equal(np.asarray(hits.prim) < 0, miss)
+    np.testing.assert_allclose(np.asarray(hits.t)[~miss],
+                               np.asarray(ref.t)[~miss], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_refit_bvh8_identity_tightens(rng):
+    """Refit with unchanged geometry can only tighten child boxes."""
+    from tinybvh_tpu.builders.refit import refit_bvh8
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+
+    tris = sphere_tris(10, 20)
+    bvh2 = build_binned(tris, max_leaf=4)
+    bvh8 = collapse_bvh2(bvh2, tris)
+    r8 = refit_bvh8(bvh8, tris)
+    b0 = np.asarray(bvh8.bounds).reshape(-1, 6, 8)
+    b1 = np.asarray(r8.bounds).reshape(-1, 6, 8)
+    assert np.all(b1[:, :3] >= b0[:, :3] - 1e-5)   # mins tighten up
+    assert np.all(b1[:, 3:] <= b0[:, 3:] + 1e-5)   # maxs tighten down
+    np.testing.assert_allclose(np.asarray(r8.leaf_tris),
+                               np.asarray(bvh8.leaf_tris), atol=0)
+
+
+def test_refit_bvh8_packet_pipeline(rng):
+    """Per-frame rigid path: refit + jitted aux rebuild keeps the packet
+    engine exact (the bench's flagship pipeline after deformation)."""
+    import jax
+
+    from tinybvh_tpu.builders.refit import refit_bvh8
+    from tinybvh_tpu.core.intersect import brute_force_closest
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.io.loaders import sphere_tris
+    from tinybvh_tpu.layouts.mbvh import collapse_bvh2
+    from tinybvh_tpu.traverse.packet2 import (
+        build_packet_aux, intersect_packets2)
+
+    tris = sphere_tris(12, 24)
+    bvh2 = build_binned(tris, max_leaf=4)
+    bvh8 = collapse_bvh2(bvh2, tris)
+    moved = np.asarray(tris) * 1.4 + np.array([0.3, 0.1, -0.2], np.float32)
+    r8 = refit_bvh8(bvh8, moved)
+    aux = build_packet_aux(r8)
+    # one 256-ray packet of coherent rays through the sphere
+    n = 256
+    xs = (np.arange(16) + 0.5) / 16 * 2 - 1
+    gx, gy = np.meshgrid(xs, xs)
+    o = np.stack([gx * 2, gy * 2, np.full_like(gx, -6.0)], -1).reshape(-1, 3)
+    o = (o * 1.4 + np.array([0.3, 0.1, -0.2])).astype(np.float32)
+    rays = make_rays(o, np.tile(np.array([[0, 0, 1]], np.float32), (n, 1)))
+    hits, ovf = intersect_packets2(r8, aux, rays, max_leaves=256,
+                                   interpret=True)
+    assert int(jax.numpy.sum(ovf)) == 0
+    ref = brute_force_closest(rays, jnp.asarray(moved, jnp.float32))
+    miss = np.asarray(ref.prim) < 0
+    np.testing.assert_array_equal(np.asarray(hits.prim) < 0, miss)
+    np.testing.assert_allclose(np.asarray(hits.t)[~miss],
+                               np.asarray(ref.t)[~miss], rtol=1e-4,
+                               atol=1e-4)

@@ -1,10 +1,22 @@
 """Bottom-up BVH refit as level-parallel segmented updates.
 
-Counterpart of BVH::Refit (tiny_bvh.h:3055-3093). The reference walks nodes
-in reverse allocation order (children are allocated after parents, so one
-reverse sweep suffices). On TPU we precompute per-depth node buckets once
-per topology (host-side) and then update whole levels at a time with pure
-array ops — the refit itself is jittable and runs fully on device.
+Counterpart of BVH::Refit (tiny_bvh.h:3055-3093) and MBVH<M>::Refit
+(tiny_bvh.h:4925-4961). The reference walks nodes in reverse allocation
+order (children are allocated after parents, so one reverse sweep
+suffices). On TPU we precompute per-depth node buckets once per topology
+(host-side) and then update whole levels at a time with pure array ops —
+the refit itself is jittable and runs fully on device.
+
+Two refit paths:
+
+  * `refit`       — the canonical BVH2 (feeds rebuild/collapse pipelines).
+  * `refit_bvh8`  — DIRECT refit of the 8-wide layout: regathers the packed
+    leaf triangles from the deformed vertex array and rebuilds every node's
+    8 child boxes bottom-up, keeping the collapse topology. This is the
+    per-frame path for animated rigid meshes (≙ BVH8_CPU::Refit,
+    tiny_bvh.h:5653): no host round-trip, no re-collapse. Refresh the
+    packet tables afterwards with traverse.packet2.build_packet_aux (also
+    jitted) for the packet engines.
 """
 
 from __future__ import annotations
@@ -15,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tinybvh_tpu.core.vecmath import BVH_FAR
 from tinybvh_tpu.layouts.bvh2 import BVH2, node_depths_host
 
 
@@ -77,3 +90,86 @@ def _refit_impl(bvh: BVH2, packed_tris, plan, leaf_max):
         node_max = node_max.at[ids].set(new_max)
 
     return bvh.replace(node_min=node_min, node_max=node_max)
+
+
+# ---------------------------------------------------------------------------
+# Direct 8-wide refit (≙ MBVH<M>::Refit, tiny_bvh.h:4925-4961)
+# ---------------------------------------------------------------------------
+
+def bvh8_refit_plan(child_host):
+    """Per-depth node-row buckets of a BVH8 child table, deepest first.
+
+    child_host: (M, 8) int numpy child table (layouts.mbvh conventions:
+    >=0 node row, <0 leaf, EMPTY_SLOT unused). Topology-dependent but
+    geometry-independent — compute once per collapse, reuse every frame.
+    """
+    from tinybvh_tpu.layouts.mbvh import EMPTY_SLOT
+
+    child = np.asarray(child_host)
+    m = child.shape[0]
+    depth = np.full(m, -1, np.int32)
+    depth[0] = 0
+    frontier = np.array([0], np.int64)
+    d = 0
+    while frontier.size:
+        kids = child[frontier].reshape(-1)
+        kids = kids[(kids >= 0) & (kids != EMPTY_SLOT)]
+        d += 1
+        depth[kids] = d
+        frontier = kids
+    levels = []
+    for lv in range(int(depth.max()), -1, -1):
+        ids = np.nonzero(depth == lv)[0].astype(np.int32)
+        if ids.size:
+            levels.append(jnp.asarray(ids))
+    return tuple(levels)
+
+
+def refit_bvh8(bvh8, tris, plan=None):
+    """Refit the 8-wide layout in place for deformed geometry.
+
+    tris: (N, 3, 3) deformed triangle array (device or host); leaf_tris
+    are regathered from it via leaf_prim and every node's 8 child boxes
+    are recomputed level-synchronously. Jittable when `plan` is given
+    (pass bvh8_refit_plan(child) — host child table). Returns a BVH8
+    with new bounds + leaf_tris; child/leaf_prim (topology) unchanged,
+    exactly the reference's refit contract (tiny_bvh.h:4925-4961).
+    """
+    if plan is None:
+        plan = bvh8_refit_plan(np.asarray(bvh8.child))
+    return _refit_bvh8_impl(bvh8, jnp.asarray(tris, jnp.float32), plan)
+
+
+@jax.jit
+def _refit_bvh8_impl(bvh8, tris, plan):
+    from tinybvh_tpu.layouts.mbvh import EMPTY_SLOT
+
+    lp = bvh8.leaf_prim                                   # (L, 4)
+    n = tris.shape[0]
+    valid = (lp >= 0)[..., None, None]
+    lt = jnp.where(valid, tris[jnp.clip(lp, 0, n - 1)], 0.0)
+    leaf_lo = jnp.where(valid, lt, BVH_FAR).min(axis=(1, 2))   # (L, 3)
+    leaf_hi = jnp.where(valid, lt, -BVH_FAR).max(axis=(1, 2))
+
+    bounds = bvh8.bounds
+    m = bounds.shape[0]
+    l_rows = leaf_lo.shape[0]
+    node_lo = jnp.full((m, 3), BVH_FAR, jnp.float32)
+    node_hi = -node_lo
+    for ids in plan:
+        ch = bvh8.child[ids]                              # (B, 8)
+        empty = ch == EMPTY_SLOT
+        is_leaf = (ch < 0) & ~empty
+        lrow = jnp.clip(-(ch + 1), 0, l_rows - 1)
+        crow = jnp.clip(ch, 0, m - 1)
+        slo = jnp.where(is_leaf[..., None], leaf_lo[lrow], node_lo[crow])
+        shi = jnp.where(is_leaf[..., None], leaf_hi[lrow], node_hi[crow])
+        slo = jnp.where(empty[..., None], BVH_FAR, slo)   # (B, 8, 3)
+        shi = jnp.where(empty[..., None], -BVH_FAR, shi)
+        rows = jnp.concatenate(
+            [slo.transpose(0, 2, 1).reshape(-1, 24),
+             shi.transpose(0, 2, 1).reshape(-1, 24)], axis=1)  # (B, 48)
+        bounds = bounds.at[ids].set(rows)
+        node_lo = node_lo.at[ids].set(slo.min(axis=1))
+        node_hi = node_hi.at[ids].set(shi.max(axis=1))
+    return bvh8.replace(bounds=bounds, leaf_tris=lt)

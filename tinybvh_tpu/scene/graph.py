@@ -510,16 +510,22 @@ class Scene:
             self._blas_meta = getattr(self, "_blas_meta", {})
             self._blas_meta[mid] = bvh2
         elif deformed and policy == "rigid":
-            # refit the BVH2 and re-collapse (cheap relative to rebuild)
-            from tinybvh_tpu.builders.refit import refit
-            from tinybvh_tpu.traverse.stack import pack_tris
+            # direct 8-wide refit on device (≙ MBVH<8>::Refit,
+            # tiny_bvh.h:4925-4961): keeps the collapse topology, runs
+            # one jitted level-sync pass per frame — no host round-trip,
+            # no re-collapse (r3's re-collapse path cost ~1 s/frame on
+            # bunny-sized meshes; this is a single compiled dispatch)
+            from tinybvh_tpu.builders.refit import bvh8_refit_plan, refit_bvh8
 
-            bvh2 = self._blas_meta[mid]
-            packed = pack_tris(bvh2, jnp.asarray(mesh.tris))
-            bvh2 = refit(bvh2, packed, leaf_max=4)
-            self._blas_meta[mid] = bvh2
-            self._blas[mid] = collapse_bvh2(bvh2, mesh.tris)
-            # the device-refit collapse has no host twin
+            plans = self._refit_plans = getattr(self, "_refit_plans", {})
+            if mid not in plans:
+                host8 = getattr(self, "_blas_host", {}).get(mid)
+                child = (host8["child"] if host8 is not None
+                         else np.asarray(self._blas[mid].child))
+                plans[mid] = bvh8_refit_plan(child)
+            self._blas[mid] = refit_bvh8(
+                self._blas[mid], jnp.asarray(mesh.tris), plans[mid])
+            # the device refit has no host twin
             getattr(self, "_blas_host", {}).pop(mid, None)
 
     # -- tracing ----------------------------------------------------------

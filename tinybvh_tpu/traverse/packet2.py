@@ -1071,20 +1071,24 @@ def _decode_keys(keys, leaf_bits=_LEAF_BITS):
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "sort", "fused",
                                    "mt_precision", "max_blocks", "any_hit",
-                                   "tri_blk"))
+                                   "tri_blk", "return_counts"))
 def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_leaves: int = 256, t_max=BVH_FAR,
                        interpret: bool = False, retrace: bool = True,
                        wf_cap_factor: int = 8, sort: bool = False,
                        fused: bool = True, mt_precision: str = "highest",
                        max_blocks: int = 128, any_hit: bool = False,
-                       tri_blk: int = 256):
+                       tri_blk: int = 256, return_counts: bool = False):
     """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
     origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
     Returns (Hits, per-tile overflow mask). With retrace=True overflowed
     tiles are re-traced exactly by the wavefront engine inside this call
     (the returned hits are then exact everywhere; the mask only reports
-    where the fallback ran)."""
+    where the fallback ran).
+
+    return_counts=True appends the raw per-tile cull survivor counts
+    (segments; k_cap+1 flags a block-worklist overflow) to the return —
+    the budget-sizing probes read the distribution off this."""
     K = max_leaves
     assert K % (_KPB * SPAN) == 0
     Kk = K // SPAN                 # cull-key (segment) budget
@@ -1276,6 +1280,8 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         # after an exact retrace, report only tiles that may STILL be
         # inexact: retraced tiles whose wavefront pass itself overflowed
         overflow = overflow & wf_ovf
+    if return_counts:
+        return hits, overflow, counts
     return hits, overflow
 
 
