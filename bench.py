@@ -126,7 +126,9 @@ class _SkipPhase(Exception):
 
 def bench_scene(tris, name, ref_entry=None,
                 phases=("primary", "shadow", "diffuse"),
-                max_blocks=256, max_blocks_primary=None):
+                max_blocks=256, max_blocks_primary=None,
+                ml_primary=512, ml_shadow=1024, ml_diffuse=8192,
+                rml_primary=2048, rml_shadow=4096, rml_diffuse=32768):
     import jax
     import jax.numpy as jnp
 
@@ -134,7 +136,8 @@ def bench_scene(tris, name, ref_entry=None,
     from tinybvh_tpu.core.rays import make_rays
     from tinybvh_tpu.native import build_binned_native
     from tinybvh_tpu.traverse.packet2 import (
-        intersect_packets2, intersect_packets2_sorted, is_occluded_packets2,
+        intersect_packets2, intersect_packets2_sorted,
+        is_occluded_packets2_sorted,
     )
 
     n_tris = tris.shape[0]
@@ -227,11 +230,13 @@ def bench_scene(tris, name, ref_entry=None,
                            cut_dev))
 
     # ---- primary rays ---------------------------------------------------
-    # retrace=False: the in-call wavefront retrace branch alone added
-    # ~10 min of remote compile (r3 rehearsal: warm_primary 686 s wall).
-    # K=512 yields ZERO overflowed tiles on the scenes below (asserted by
-    # the *_overflow_tiles fields — 0 means the trace is exact anyway);
-    # a nonzero count flags the number as approximate.
+    # EVERY phase is EXACT (≙ the reference's ValidateTraceResult gate,
+    # tiny_bvh_speedtest.cpp:338-381): per-phase budgets are sized from
+    # the measured survivor distributions (benchmarks/overflow_probe.py)
+    # to cover every tile, and retrace="packet" (escalated-budget second
+    # cull pass, skipped via lax.cond when nothing overflows) catches any
+    # residue. The *_overflow_* fields report what remains AFTER the
+    # escalation — 0 attests the trace is exact.
     # camera frusta sweep far fewer blocks than from-light/bounce frusta
     # (measured surviving blocks/group: bunny max 50, grid4 94, grid16
     # 203), and the cull's butterfly-compaction cost scales with the
@@ -239,9 +244,11 @@ def bench_scene(tris, name, ref_entry=None,
     mbp = max_blocks_primary or max_blocks
 
     def primary():
-        return intersect_packets2(bvh.bvh8, aux, rays, max_leaves=512,
+        return intersect_packets2(bvh.bvh8, aux, rays,
+                                  max_leaves=ml_primary,
                                   t_max=far_dev, max_blocks=mbp,
-                                  retrace=False)
+                                  retrace="packet", retrace_ml=rml_primary,
+                                  retrace_blocks=max_blocks)
 
     # warm/compile the primary NOW; measurement happens after every
     # phase's compile+puts are done (compiles and H2D transfers issued
@@ -264,13 +271,15 @@ def bench_scene(tris, name, ref_entry=None,
         return rays.o + ht[:, None] * rays.d
 
     def shadow():
-        # from-light frusta sweep much more geometry than camera tiles
-        # (mean >300 leaves/tile on bunny): a 2x key budget + block
-        # worklist keeps most tiles on the fast kernel instead of the
-        # wavefront retrace
-        return is_occluded_packets2(bvh.bvh8, aux, light_dev, p_dev,
-                                    cutoff=cut_dev, max_leaves=512,
-                                    max_blocks=max_blocks, retrace=False)
+        # DIRECTION-sorted bundles: pixel-order tiles at silhouettes put
+        # scattered hit points into one bundle (probe: 4 tiles sweep
+        # >4096 leaves); for a shared origin, direction order bounds the
+        # worst tile near the average (max 889 segs sorted vs 2218)
+        return is_occluded_packets2_sorted(
+            bvh.bvh8, aux, light_dev, p_dev, cutoff=cut_dev,
+            max_leaves=ml_shadow, max_blocks=max_blocks,
+            retrace="packet", retrace_ml=rml_shadow,
+            retrace_blocks=max_blocks)
 
     # best-effort: an error in one phase must not void the whole bench
     shadow_ready = False
@@ -279,7 +288,7 @@ def bench_scene(tris, name, ref_entry=None,
             p_dev = shadow_points(hits.t)
             occ, sovf = shadow()
             jax.block_until_ready(occ)
-            out["shadow_overflow_tiles"] = int(jnp.sum(sovf))
+            out["shadow_overflow_rays"] = int(jnp.sum(sovf))
             shadow_ready = True
             mark("warm_shadow")
     except Exception as e:  # pragma: no cover - device-dependent
@@ -317,12 +326,17 @@ def bench_scene(tris, name, ref_entry=None,
         drays = Rays(o=do_dev, d=dd_dev, rd=rd_dev, mask=mask_dev)
 
         def diffuse():
-            # max_blocks matches the primary/shadow phases: bounce-ray
-            # tiles sweep wide frusta and overflowed 43% of rays at the
-            # previous 128 default worklist
+            # EXACT incoherent trace: the true survivor distribution is
+            # mean 616 segs/tile, p90 2178, max 5313 (overflow_probe) —
+            # packet frusta fundamentally over-cover incoherent bundles,
+            # so exactness costs ~5x the truncated-list throughput
+            # (diffuse_probe: 1.44 exact vs 7.55 with 36% of rays
+            # dropped). The number reported here is the honest one.
             return intersect_packets2_sorted(
-                bvh.bvh8, aux, drays, lo_dev, hi_dev, max_leaves=512,
-                t_max_static=1e30, retrace=False, max_blocks=max_blocks)
+                bvh.bvh8, aux, drays, lo_dev, hi_dev,
+                max_leaves=ml_diffuse, t_max_static=1e30,
+                retrace="packet", retrace_ml=rml_diffuse,
+                retrace_blocks=512, max_blocks=max_blocks)
 
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)
@@ -365,6 +379,92 @@ def bench_scene(tris, name, ref_entry=None,
     return out
 
 
+def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
+                     with_wavefront=False, oracle_rays=0):
+    """nx*ny*nz-instance TLAS of one bunny BLAS traced by the bucketed
+    packet engine (per-tile instance worklists + lax.scan rounds)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinybvh_tpu.api import BVH
+    from tinybvh_tpu.core.rays import make_rays
+    from tinybvh_tpu.tlas.instance import intersect_tlas_wavefront
+    from tinybvh_tpu.tlas.packet import (
+        build_tlas_packet, intersect_tlas_packets2_bucketed,
+    )
+
+    n_inst = nx * ny * nz
+    bvh_b = BVH(bunny)
+    blas = bvh_b.bvh8
+    ex = bunny.reshape(-1, 3).max(0) - bunny.reshape(-1, 3).min(0)
+    mats = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                m = np.eye(4, dtype=np.float32)
+                m[:3, 3] = ex * 1.15 * np.array([i, j, k], np.float32)
+                mats.append(m)
+    t0 = time.perf_counter()
+    tp = build_tlas_packet([blas], np.stack(mats),
+                           host8s=[bvh_b._bvh8_host])
+    jax.block_until_ready(tp.tlas.bounds)
+    out = {"n_tris": int(bunny.shape[0]) * n_inst, "n_instances": n_inst,
+           "tlas_build_s": round(time.perf_counter() - t0, 3)}
+    wlo = np.asarray(bunny.reshape(-1, 3).min(0))
+    whi = wlo + np.asarray(ex) * np.array(
+        [1.15 * (nx - 1) + 1, 1.15 * (ny - 1) + 1, 1.15 * (nz - 1) + 1])
+    o, d, _, _ = _camera_rays(wlo, whi, W=512, H=512)
+    rays = make_rays(o, d)
+    far_dev = jnp.asarray(1e30, jnp.float32)
+    jax.block_until_ready(far_dev)
+
+    def packet_trace():
+        return intersect_tlas_packets2_bucketed(
+            tp, rays, t_max=far_dev, rounds=rounds, max_leaves=ml,
+            max_blocks=256, retrace="packet", retrace_ml=rml,
+            retrace_blocks=256)
+
+    h, ovf = packet_trace()
+    jax.block_until_ready(h.t)
+    out["hit_rate"] = round(float(jnp.mean((h.prim >= 0)
+                                   .astype(jnp.float32))), 4)
+    out["packet_overflow_tiles"] = int(jnp.sum(ovf))
+    _emit(out)
+    if oracle_rays:
+        # exactness evidence on a subset (≙ ValidateTraceResult,
+        # tiny_bvh_speedtest.cpp:338-381): lockstep two-level oracle
+        from tinybvh_tpu.tlas.instance import intersect_tlas8
+
+        sub = rays.o.shape[0] // 2 - oracle_rays // 2
+        rsub = make_rays(np.asarray(rays.o)[sub:sub + oracle_rays],
+                         np.asarray(rays.d)[sub:sub + oracle_rays])
+        ho = intersect_tlas8(tp.tlas, rsub, 1e30)
+        agree = float(jnp.mean(
+            (h.prim[sub:sub + oracle_rays] == ho.prim).astype(jnp.float32)))
+        out["oracle_prim_agree"] = round(agree, 5)
+        _emit(out)
+    t = _amortized(packet_trace, n=4)
+    out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
+    _emit(out)
+
+    if with_wavefront:
+        def wf_trace():
+            hh, _ = intersect_tlas_wavefront(tp.tlas, rays, far_dev,
+                                             cap_factor=6)
+            return hh
+
+        try:
+            hw = wf_trace()
+            jax.block_until_ready(hw.t)
+            t = _amortized(wf_trace, n=4)
+            out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
+            out["packet_vs_wavefront"] = round(
+                out["tlas_packet_mrays"] / out["tlas_wavefront_mrays"], 2)
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["wavefront_error"] = repr(e)[:160]
+    return out
+
+
 def _load_bunny():
     from tinybvh_tpu.io.loaders import load_bin, random_tris
 
@@ -404,83 +504,37 @@ def _sub_section(section):
         out["_scene_name"] = scene_name
         out["_device"] = str(jax.devices()[0])
     elif section == "grid4":
+        # ml_primary=1024: probe max is 228 segments (512 left 59 tiles
+        # approximate in r3) — exact with 12% margin
         out = bench_scene(_bunny_grid(bunny, 2, 2), "bunny_grid4",
                           ref.get("bunny_grid4"), phases=("primary",),
-                          max_blocks_primary=128)
+                          max_blocks_primary=128, ml_primary=1024,
+                          rml_primary=4096)
     elif section == "grid16":
         # >=1M-tri scale point (≙ the reference's Sponza-class baseline,
         # tiny_bvh_speedtest.cpp:487-495): exposes the dense-cull O(N*T)
-        # behavior and HBM-resident node tables
-        # max_blocks stays at the TPU-validated 256: the K1b compaction
-        # scratch scales with it and 512 risks the 16 MB scoped-vmem
-        # ceiling; groups whose worklist overflows report overflow tiles
-        # (the throughput number still lands, flagged approximate)
+        # behavior and HBM-resident node tables. ml_primary=2560 covers
+        # the probed max of 539 segments (509 tiles were approximate at
+        # the r3 512 budget); the r4 chunked cull compaction makes the
+        # deep worklist affordable (scratch no longer scales with it)
         out = bench_scene(_bunny_grid(bunny, 4, 4), "bunny_grid16",
-                          None, phases=("primary",), max_blocks=256)
+                          None, phases=("primary",), max_blocks=256,
+                          ml_primary=2560, rml_primary=8192)
     elif section == "inst8":
         # 2x2x2 instance grid of ONE bunny BLAS (≙ tiny_bvh_anim.cpp's
-        # TLAS setup): the per-instance packet engine vs the two-level
-        # wavefront on identical rays — the TLAS fast-path evidence
-        import jax.numpy as jnp
-
-        from tinybvh_tpu.api import BVH
-        from tinybvh_tpu.core.rays import make_rays
-        from tinybvh_tpu.tlas.instance import intersect_tlas_wavefront
-        from tinybvh_tpu.tlas.packet import (
-            build_tlas_packet, intersect_tlas_packets2,
-        )
-
-        bvh_b = BVH(bunny)
-        blas = bvh_b.bvh8
-        ex = bunny.reshape(-1, 3).max(0) - bunny.reshape(-1, 3).min(0)
-        mats = []
-        for i in range(8):
-            m = np.eye(4, dtype=np.float32)
-            m[:3, 3] = ex * 1.15 * np.array(
-                [i & 1, (i >> 1) & 1, i >> 2], np.float32)
-            mats.append(m)
-        t0 = time.perf_counter()
-        tp = build_tlas_packet([blas], np.stack(mats),
-                               host8s=[bvh_b._bvh8_host])
-        jax.block_until_ready(tp.tlas.bounds)
-        out = {"n_tris": int(bunny.shape[0]) * 8, "n_instances": 8,
-               "tlas_build_s": round(time.perf_counter() - t0, 3)}
-        wlo = np.asarray(bunny.reshape(-1, 3).min(0))
-        whi = wlo + np.asarray(ex) * (1.15 + 1.0)
-        o, d, _, _ = _camera_rays(wlo, whi, W=512, H=512)
-        rays = make_rays(o, d)
-        far_dev = jnp.asarray(1e30, jnp.float32)
-        jax.block_until_ready(far_dev)
-
-        def packet_trace():
-            return intersect_tlas_packets2(
-                tp, rays, t_max=far_dev, max_leaves=512, max_blocks=256,
-                retrace=False)
-
-        h, ovf = packet_trace()
-        jax.block_until_ready(h.t)
-        out["hit_rate"] = round(float(jnp.mean((h.prim >= 0)
-                                       .astype(jnp.float32))), 4)
-        out["packet_overflow_tiles"] = int(jnp.sum(ovf))
-        _emit(out)
-        t = _amortized(packet_trace, n=4)
-        out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
-        _emit(out)
-
-        def wf_trace():
-            hh, _ = intersect_tlas_wavefront(tp.tlas, rays, far_dev,
-                                             cap_factor=6)
-            return hh
-
-        try:
-            hw = wf_trace()
-            jax.block_until_ready(hw.t)
-            t = _amortized(wf_trace, n=4)
-            out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
-            out["packet_vs_wavefront"] = round(
-                out["tlas_packet_mrays"] / out["tlas_wavefront_mrays"], 2)
-        except Exception as e:  # pragma: no cover - device-dependent
-            out["wavefront_error"] = repr(e)[:160]
+        # TLAS setup): the bucketed per-tile-worklist packet engine vs
+        # the two-level wavefront on identical rays
+        out = _bench_instances(bunny, nx=2, ny=2, nz=2, rounds=8,
+                               ml=1024, rml=4096, with_wavefront=True)
+    elif section == "inst512":
+        # 8x8x8 = 512 instances of one bunny BLAS (≙ the 3,375-dragon
+        # TLAS demo, tiny_bvh_gpu2.cpp:124-136): evidence the per-tile
+        # instance-worklist design scales to hundreds of instances —
+        # compile cost is ONE scan body regardless of instance count,
+        # runtime scales with per-tile overlap (rounds), not with I
+        out = _bench_instances(bunny, nx=8, ny=8, nz=8, rounds=16,
+                               ml=1024, rml=4096, with_wavefront=False,
+                               oracle_rays=2048)
     elif section == "builddev":
         # on-device binned-SAH builder (builders/binned_jax) in its own
         # subprocess: its level-loop compile time is unbounded enough
@@ -518,6 +572,7 @@ def _sub_section(section):
         from tinybvh_tpu.scene.graph import Scene
         from tinybvh_tpu.tlas.instance import intersect_tlas_wavefront
 
+        # instanced scene graph (39 nodes) for the dynamic/wavefront path
         sc = Scene.from_gltf("/root/reference/testdata/drone/scene.gltf")
         t0 = time.perf_counter()
         sc.update(0.0)
@@ -528,13 +583,26 @@ def _sub_section(section):
         hi = np.where(b0[3:] > -1e29, b0[3:], -1e30).max(axis=1)
         o, d, _, _ = _camera_rays(lo, hi, W=256, H=256)
         rays = make_rays(o, d)
-
         far_dev = jnp.asarray(1e30, jnp.float32)
         jax.block_until_ready(far_dev)
 
+        # static render path: collapse the rigid subtree into ONE BLAS
+        # (≙ Scene::CollapseMeshes, tiny_scene.h:3456-3524) and trace it
+        # with the flagship packet pipeline
+        sc2 = Scene.from_gltf("/root/reference/testdata/drone/scene.gltf")
+        for r in list(sc2.roots):
+            sc2.collapse_meshes(r)
+        sc2.update(0.0)
+        tp = sc2.tlas_packet()
+        jax.block_until_ready(tp.tlas.bounds)
+
+        from tinybvh_tpu.tlas.packet import intersect_tlas_packets2
+
         def scene_trace():
-            h, _ = intersect_tlas_wavefront(sc.tlas, rays, far_dev,
-                                            cap_factor=6)
+            h, _ = intersect_tlas_packets2(
+                tp, rays, t_max=far_dev, max_leaves=512,
+                max_blocks=128, retrace="packet", retrace_ml=2048,
+                retrace_blocks=256)
             return h
 
         h = scene_trace()
@@ -548,7 +616,29 @@ def _sub_section(section):
         }
         _emit(out)
         t = _amortized(scene_trace, n=4)
-        out["tlas_mrays"] = round(o.shape[0] / t / 1e6, 3)
+        out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
+        _emit(out)
+
+        def wf_trace():
+            hh, _ = intersect_tlas_wavefront(sc.tlas, rays, far_dev,
+                                             cap_factor=6)
+            return hh
+
+        try:
+            hw = wf_trace()
+            jax.block_until_ready(hw.t)
+            # collapsed and instanced traces see the same world geometry:
+            # hit-t agreement is the cross-engine exactness check
+            # (prim ids differ by construction — merged reindexing)
+            ht, hwt = h.t, hw.t
+            agree = float(jnp.mean((jnp.abs(ht - hwt)
+                                    <= 1e-3 * jnp.maximum(jnp.abs(hwt), 1))
+                                   .astype(jnp.float32)))
+            out["packet_vs_wavefront_t_agree"] = round(agree, 5)
+            t = _amortized(wf_trace, n=4)
+            out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["wavefront_error"] = repr(e)[:160]
     else:
         out = {"error": f"unknown section {section}"}
     _emit(out)
@@ -593,16 +683,17 @@ def main():
     detail = {}
     me = os.path.abspath(__file__)
     only = os.environ.get("BENCH_SECTIONS",
-                          "bunny,grid4,grid16,inst8,drone,builddev")
+                          "bunny,grid4,grid16,inst8,inst512,drone,builddev")
     # (name, max budget s, min remaining s required to even start)
     # Sized for warm-compilation-cache runs (every executable below is
     # rehearsed into .jax_cache during development; a cold-cache run
     # still degrades gracefully section by section). builddev runs
     # LAST: its compile time is the least predictable and its metric
     # the least critical.
-    plan = [("bunny", 420, 120), ("grid4", 200, 100),
-            ("grid16", 320, 150), ("inst8", 240, 120),
-            ("drone", 200, 100), ("builddev", 240, 100)]
+    plan = [("bunny", 420, 120), ("grid4", 150, 80),
+            ("grid16", 300, 140), ("inst8", 200, 110),
+            ("inst512", 220, 110), ("drone", 150, 80),
+            ("builddev", 200, 100)]
     for section, max_budget, min_need in plan:
         if section not in only:
             continue

@@ -37,14 +37,32 @@ PROBE_ML = 4096          # segments*SPAN — oversized so counts are exact
 PROBE_MB = 512
 
 
+def _dir_sort(points, origin):
+    """Direction-morton order of shared-origin targets (the tiling
+    is_occluded_packets2_sorted uses)."""
+    import jax.numpy as jnp
+
+    from tinybvh_tpu.traverse.packet import _spread10
+
+    d = points - origin[None, :]
+    dn = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-20)
+    q = np.clip(((dn + 1.0) * 0.5 * 1024.0).astype(np.int32), 0, 1023)
+    key = (np.asarray(_spread10(jnp.asarray(q[:, 0])))
+           | (np.asarray(_spread10(jnp.asarray(q[:, 1]))) << 1)
+           | (np.asarray(_spread10(jnp.asarray(q[:, 2]))) << 2))
+    return points[np.argsort(key)]
+
+
 def _report(tag, counts, kk_probe):
+    # the cull ACCUMULATES true survivor totals even past the key budget,
+    # so counts are exact sizes (only == kk_probe+1 is ambiguous with the
+    # block-worklist overflow flag)
     c = np.asarray(counts)
     wl_ovf = int((c == kk_probe + 1).sum())
-    c = c[c <= kk_probe]
-    print(f"{tag}: tiles={c.size + wl_ovf} wl_overflow={wl_ovf} "
+    print(f"{tag}: tiles={c.size} wl_overflow?={wl_ovf} "
           f"max={int(c.max())} p99={int(np.percentile(c, 99))} "
           f"p90={int(np.percentile(c, 90))} mean={c.mean():.1f}")
-    for ml in (512, 1024, 2048, 4096):
+    for ml in (512, 1024, 2048, 2560, 4096, 8192, 16384):
         kk = ml // SPAN
         print(f"  ml={ml:5d} (Kk={kk:4d}): tiles_over={int((c > kk).sum())}")
 
@@ -72,15 +90,16 @@ def probe_scene(tris, name, phases=("primary",), light_axis=1.0):
         ht = np.asarray(hits.t)
         ht = np.where(np.isfinite(ht) & (ht < 1e29), ht, 1.0)
         p = o + ht[:, None] * np.asarray(d)
-        sd = p - light[None, :]
-        srays = make_rays(np.broadcast_to(light, sd.shape).copy(), sd)
-        _, _, counts = intersect_packets2(
-            bvh.bvh8, aux, srays, max_leaves=PROBE_ML,
-            t_max=jnp.asarray(1.0 - 1e-3, jnp.float32),
-            max_blocks=PROBE_MB, retrace=False, any_hit=True,
-            return_counts=True)
-        jax.block_until_ready(counts)
-        _report(f"{name} shadow", counts, kk_probe)
+        for tag, pts in (("shadow", p), ("shadow_sorted", _dir_sort(p, light))):
+            sd = pts - light[None, :]
+            srays = make_rays(np.broadcast_to(light, sd.shape).copy(), sd)
+            _, _, counts = intersect_packets2(
+                bvh.bvh8, aux, srays, max_leaves=PROBE_ML,
+                t_max=jnp.asarray(1.0 - 1e-3, jnp.float32),
+                max_blocks=PROBE_MB, retrace=False, any_hit=True,
+                return_counts=True)
+            jax.block_until_ready(counts)
+            _report(f"{name} {tag}", counts, kk_probe)
 
     if "diffuse" in phases:
         from tinybvh_tpu.traverse.packet import sort_rays_coherent

@@ -372,3 +372,81 @@ def test_tiny_scene_default_tri_blk(rng=None):
     np.testing.assert_allclose(np.asarray(h.t), np.asarray(ref.t),
                                rtol=1e-4, atol=1e-5)
     assert int(np.asarray(ovf).sum()) == 0
+
+
+def test_packet_retrace_restores_hits(scene):
+    """retrace='packet' (escalated-budget second cull pass) must restore
+    the hits a tiny first-pass budget dropped, and clear the mask."""
+    tris, bvh8, aux = scene
+    rng = np.random.default_rng(0)
+    dw = rng.normal(size=(256, 3)).astype(np.float32)
+    dw /= np.linalg.norm(dw, axis=1, keepdims=True)
+    ow = np.full((256, 3), 5.0, np.float32)
+    rays_w = make_rays(ow, dw)
+    _, ovf0 = intersect_packets2(bvh8, aux, rays_w, max_leaves=32,
+                                 interpret=True, retrace=False)
+    assert np.asarray(ovf0).all()
+    hits1, ovf1 = intersect_packets2(bvh8, aux, rays_w, max_leaves=32,
+                                     interpret=True, retrace="packet",
+                                     retrace_ml=4096, retrace_blocks=256)
+    ref, _ = intersect_wavefront(bvh8, rays_w, cap_factor=24)
+    assert (np.asarray(hits1.prim) == np.asarray(ref.prim)).all()
+    assert not np.asarray(ovf1).any()
+
+
+def test_packet_retrace_mixed_tiles(scene):
+    """Escalation must only REPLACE overflowed tiles: a coherent (narrow)
+    tile and a wide tile in one batch, tiny budget — both end exact."""
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=1)
+    rng = np.random.default_rng(3)
+    dw = rng.normal(size=(256, 3)).astype(np.float32)
+    dw /= np.linalg.norm(dw, axis=1, keepdims=True)
+    d2 = np.concatenate([d, dw])
+    o2 = np.concatenate([o, np.full((256, 3), 5.0, np.float32)])
+    rays2 = make_rays(o2, d2)
+    hits, ovf = intersect_packets2(bvh8, aux, rays2, max_leaves=64,
+                                   interpret=True, retrace="packet",
+                                   retrace_ml=4096, retrace_blocks=256)
+    ref, _ = intersect_wavefront(bvh8, rays2, cap_factor=24)
+    assert (np.asarray(hits.prim) == np.asarray(ref.prim)).all()
+    assert not np.asarray(ovf).any()
+
+
+def test_occlusion_sorted_matches_unsorted(scene):
+    """Direction-sorted shadow bundles must return the same per-ray
+    occlusion as pixel-order bundles (only the tiling changes)."""
+    from tinybvh_tpu.traverse.packet2 import is_occluded_packets2_sorted
+
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=2)
+    rays = make_rays(o, d)
+    ref, _ = intersect_wavefront(bvh8, rays, cap_factor=16)
+    pts = np.clip(np.asarray(ref.t)[:, None] * d + o, -50, 50)[:512]
+    light = np.array([5.0, 14.0, 5.0], np.float32)
+    occ0, _ = is_occluded_packets2(bvh8, aux, light, pts,
+                                   interpret=True, retrace=True,
+                                   wf_cap_factor=24)
+    occ1, ovf1 = is_occluded_packets2_sorted(
+        bvh8, aux, light, pts, interpret=True, retrace="packet",
+        retrace_ml=4096, retrace_blocks=256)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+    assert not np.asarray(ovf1).any()
+
+
+def test_per_ray_t_max(scene):
+    """t_max as an (R,) array: rays with t_max=0 must report no hits,
+    the rest must match the scalar-t_max trace."""
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=2)
+    rays = make_rays(o, d)
+    h_ref, _ = intersect_packets2(bvh8, aux, rays, max_leaves=256,
+                                  interpret=True, retrace=False)
+    tm = np.full(512, 1e30, np.float32)
+    tm[256:] = 0.0
+    h, _ = intersect_packets2(bvh8, aux, rays, max_leaves=256,
+                              t_max=jnp.asarray(tm), interpret=True,
+                              retrace=False)
+    np.testing.assert_array_equal(np.asarray(h.prim)[:256],
+                                  np.asarray(h_ref.prim)[:256])
+    assert (np.asarray(h.prim)[256:] == -1).all()

@@ -120,3 +120,72 @@ def test_tlas_packet_occlusion(inst_scene):
     ref = intersect_tlas8(tp.tlas, rays)
     ref_occ = (np.asarray(ref.prim) >= 0) & (np.asarray(ref.t) < 1.0 - 1e-3)
     np.testing.assert_array_equal(np.asarray(occ), ref_occ)
+
+
+def test_bucketed_matches_lockstep(inst_scene):
+    """Bucketed (per-tile instance worklist) engine vs exact lockstep."""
+    from tinybvh_tpu.tlas.packet import intersect_tlas_packets2_bucketed
+
+    tp = inst_scene
+    rays = _camera_rays(T=8)
+    hits, ovf = intersect_tlas_packets2_bucketed(
+        tp, rays, rounds=4, max_leaves=256, interpret=True, retrace=False)
+    assert not np.asarray(ovf).any()
+    ref = intersect_tlas8(tp.tlas, rays, BVH_FAR)
+    np.testing.assert_array_equal(np.asarray(hits.prim),
+                                  np.asarray(ref.prim))
+    np.testing.assert_array_equal(np.asarray(hits.inst),
+                                  np.asarray(ref.inst))
+    ok = np.asarray(ref.prim) >= 0
+    np.testing.assert_allclose(np.asarray(hits.t)[ok],
+                               np.asarray(ref.t)[ok], rtol=1e-4, atol=1e-5)
+
+
+def test_bucketed_round_overflow_retraced(inst_scene):
+    """rounds smaller than the per-tile candidate count must flag the
+    tiles and the wavefront retrace must restore exact hits."""
+    from tinybvh_tpu.tlas.packet import intersect_tlas_packets2_bucketed
+
+    tp = inst_scene
+    rays = _camera_rays(T=4, seed=11)
+    _, ovf0 = intersect_tlas_packets2_bucketed(
+        tp, rays, rounds=1, max_leaves=256, interpret=True, retrace=False)
+    hits, ovf = intersect_tlas_packets2_bucketed(
+        tp, rays, rounds=1, max_leaves=256, interpret=True, retrace=True,
+        wf_cap_factor=24)
+    ref = intersect_tlas8(tp.tlas, rays, BVH_FAR)
+    np.testing.assert_array_equal(np.asarray(hits.prim),
+                                  np.asarray(ref.prim))
+    np.testing.assert_array_equal(np.asarray(hits.inst),
+                                  np.asarray(ref.inst))
+    assert not np.asarray(ovf).any()
+
+
+def test_bucketed_many_instances():
+    """64 instances, single shared BLAS (≙ the 3,375-dragon layout,
+    tiny_bvh_gpu2.cpp:124-136) — compile cost is one scan body; hits
+    must match the lockstep oracle exactly."""
+    from tinybvh_tpu.tlas.packet import intersect_tlas_packets2_bucketed
+
+    tris = sphere_tris(6, 10, radius=0.45)
+    blas = BVH(tris).bvh8
+    rng = np.random.default_rng(3)
+    mats = []
+    for i in range(64):
+        mats.append(_mat(((i % 8) * 1.1, (i // 8) * 1.1, 0),
+                         scale=float(rng.uniform(0.5, 1.0)),
+                         yaw=float(rng.uniform(0, 3.0))))
+    tp = build_tlas_packet([blas], np.stack(mats))
+    rays = _camera_rays(T=4, seed=9)
+    # recenter the camera on the 8x8 grid
+    o = np.asarray(rays.o) + np.array([2.5, 2.5, 0], np.float32)
+    rays = make_rays(o, np.asarray(rays.d))
+    hits, ovf = intersect_tlas_packets2_bucketed(
+        tp, rays, rounds=8, max_leaves=256, interpret=True, retrace=True,
+        wf_cap_factor=24)
+    ref = intersect_tlas8(tp.tlas, rays, BVH_FAR)
+    np.testing.assert_array_equal(np.asarray(hits.prim),
+                                  np.asarray(ref.prim))
+    np.testing.assert_array_equal(np.asarray(hits.inst),
+                                  np.asarray(ref.inst))
+    assert not np.asarray(ovf).any()

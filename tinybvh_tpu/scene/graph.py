@@ -544,3 +544,21 @@ class Scene:
     @property
     def tlas(self):
         return self._tlas
+
+    def tlas_packet(self):
+        """TLASPacket over the current instances — feeds the bucketed
+        packet engine (tlas.packet.intersect_tlas_packets2_bucketed),
+        the fast path for camera rays through an instanced scene
+        (≙ the GPU renderer tracing the scene TLAS, tiny_bvh_gpu2.cpp).
+        Call after update(); rebuild after any instance/BLAS change."""
+        from tinybvh_tpu.tlas.packet import build_tlas_packet
+
+        assert self._instances, "call update() first"
+        used = sorted({m for m, _ in self._instances})
+        remap = {m: i for i, m in enumerate(used)}
+        pairs = [(remap[m], w) for m, w in self._instances]
+        bh = getattr(self, "_blas_host", {})
+        host8s = [bh.get(m) for m in used]
+        return build_tlas_packet(
+            [self._blas[m] for m in used], pairs,
+            host8s=host8s if all(h is not None for h in host8s) else None)

@@ -1062,48 +1062,16 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
 # full pipeline
 # --------------------------------------------------------------------------
 
-def _decode_keys(keys, leaf_bits=_LEAF_BITS):
-    lb = lax.bitcast_convert_type((keys >> leaf_bits) << leaf_bits,
-                                  jnp.float32)
-    return lb, keys & ((1 << leaf_bits) - 1)
+def _tile_frusta(aux: PacketAux, rays: Rays, t_max):
+    """Per-tile frustum descriptors for the cull (shared by the trace
+    pipeline and the budget-sizing probes).
 
+    t_max: scalar or (R,) per-ray bound — per-ray bounds are what the
+    escalated-retrace pass uses to zero out non-overflowed tiles (their
+    reach cap collapses, so their cull lists come back empty and the MT
+    stage skips them — a dead tile costs only the fixed grid-step time).
 
-@partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
-                                   "wf_cap_factor", "sort", "fused",
-                                   "mt_precision", "max_blocks", "any_hit",
-                                   "tri_blk", "return_counts"))
-def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
-                       max_leaves: int = 256, t_max=BVH_FAR,
-                       interpret: bool = False, retrace: bool = True,
-                       wf_cap_factor: int = 8, sort: bool = False,
-                       fused: bool = True, mt_precision: str = "highest",
-                       max_blocks: int = 128, any_hit: bool = False,
-                       tri_blk: int = 256, return_counts: bool = False):
-    """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
-    origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
-    Returns (Hits, per-tile overflow mask). With retrace=True overflowed
-    tiles are re-traced exactly by the wavefront engine inside this call
-    (the returned hits are then exact everywhere; the mask only reports
-    where the fallback ran).
-
-    return_counts=True appends the raw per-tile cull survivor counts
-    (segments; k_cap+1 flags a block-worklist overflow) to the return —
-    the budget-sizing probes read the distribution off this."""
-    K = max_leaves
-    assert K % (_KPB * SPAN) == 0
-    Kk = K // SPAN                 # cull-key (segment) budget
-    # MT super-block size: kpb segment keys = kpb*SEG_ROWS tris per
-    # matmul block. 256-tri blocks halve the per-iteration fixed cost
-    # (drain/issue/gates/epilogue) relative to 128; tiny budgets shrink
-    # the block so at least one full super-block exists.
-    kpb = tri_blk // SEG_ROWS
-    while Kk % kpb:
-        kpb //= 2
-    if not fused:
-        # the gathered-layout kernel (mt_resolve) has a fixed TRI_BLK
-        # block: its gate vector must be one entry per 128-tri group
-        kpb = min(kpb, _KPB)
-    tb_eff = kpb * SEG_ROWS
+    Returns (posn, negn, thresh, olo, ohi, tcap, dlen, tmax_rt)."""
     R = rays.o.shape[0]
     T = R // TILE
     o = rays.o.reshape(T, TILE, 3)
@@ -1134,6 +1102,75 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     reach = jnp.minimum(tmax_rt, t_exit) * dlen
     tcap = jnp.max(reach, axis=1)                         # (T,)
     tcap = jnp.where(jnp.isfinite(tcap), tcap * 1.001 + 1e-4, BVH_FAR)
+    return posn, negn, thresh, olo, ohi, tcap, dlen, tmax_rt
+
+
+def _decode_keys(keys, leaf_bits=_LEAF_BITS):
+    lb = lax.bitcast_convert_type((keys >> leaf_bits) << leaf_bits,
+                                  jnp.float32)
+    return lb, keys & ((1 << leaf_bits) - 1)
+
+
+@partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
+                                   "wf_cap_factor", "sort", "fused",
+                                   "mt_precision", "max_blocks", "any_hit",
+                                   "tri_blk", "return_counts", "retrace_ml",
+                                   "retrace_blocks"))
+def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
+                       max_leaves: int = 256, t_max=BVH_FAR,
+                       interpret: bool = False, retrace=True,
+                       wf_cap_factor: int = 8, sort: bool = False,
+                       fused: bool = True, mt_precision: str = "highest",
+                       max_blocks: int = 128, any_hit: bool = False,
+                       tri_blk: int = 256, return_counts: bool = False,
+                       retrace_ml: int = 0, retrace_blocks: int = 0):
+    """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
+    origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
+    Returns (Hits, per-tile overflow mask).
+
+    t_max: scalar or (R,) per-ray bound.
+
+    retrace: overflow-handling mode for tiles whose cull survivors
+    exceeded the max_leaves budget (their fast-path hits silently drop
+    geometry — ≙ the exactness the reference asserts via
+    ValidateTraceResult, tiny_bvh_speedtest.cpp:338-381):
+      * True / "wavefront" — re-trace overflowed tiles with the
+        wavefront engine inside this call (exact, but its per-level cost
+        scales with the static cap_factor*R frontier);
+      * "packet" — ESCALATED second packet pass at retrace_ml keys
+        (default 4*max_leaves) / retrace_blocks worklist depth: non-
+        overflowed tiles get t_max = 0 so their reach cap collapses and
+        they cull to nothing — a dead tile costs only fixed grid-step
+        time, so the escalation costs ~the overflowed tiles' true work.
+        Residual overflow (beyond retrace_ml) is reported in the mask;
+      * False — fast path only, mask flags the approximate tiles.
+    Either retrace mode is skipped entirely via lax.cond when nothing
+    overflowed — the common case pays nothing.
+
+    return_counts=True appends the raw per-tile cull survivor counts
+    (segments; k_cap+1 flags a block-worklist overflow) to the return —
+    the budget-sizing probes read the distribution off this."""
+    K = max_leaves
+    assert K % (_KPB * SPAN) == 0
+    Kk = K // SPAN                 # cull-key (segment) budget
+    # MT super-block size: kpb segment keys = kpb*SEG_ROWS tris per
+    # matmul block. 256-tri blocks halve the per-iteration fixed cost
+    # (drain/issue/gates/epilogue) relative to 128; tiny budgets shrink
+    # the block so at least one full super-block exists.
+    kpb = tri_blk // SEG_ROWS
+    while Kk % kpb:
+        kpb //= 2
+    if not fused:
+        # the gathered-layout kernel (mt_resolve) has a fixed TRI_BLK
+        # block: its gate vector must be one entry per 128-tri group
+        kpb = min(kpb, _KPB)
+    tb_eff = kpb * SEG_ROWS
+    R = rays.o.shape[0]
+    T = R // TILE
+    o = rays.o.reshape(T, TILE, 3)
+    d = rays.d.reshape(T, TILE, 3)
+    (posn, negn, thresh, olo, ohi, tcap, dlen,
+     tmax_rt) = _tile_frusta(aux, rays, t_max)
 
     # segment ids must fit the key low bits: scenes beyond 2^18 segment
     # rows (>4M tris) trade distance-ordering granularity for id range
@@ -1202,9 +1239,11 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
 
     o_c = jnp.transpose(o - aux.center, (0, 2, 1))       # (T, 3, 256)
     d_t = jnp.transpose(d, (0, 2, 1))
-    tmax = jnp.broadcast_to(
-        jnp.asarray(t_max, jnp.float32), (T,)).reshape(T, 1, 1)
-    tmax_r = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    # the kernel's per-tile initial t bound is the tile max: per-ray
+    # bounds (escalated retrace) are enforced by the per-ray comparison
+    # against tmax_r below
+    tmax = tmax_rt.max(axis=1).reshape(T, 1, 1)
+    tmax_r = tmax_rt.reshape(R)
     if fused:
         # block reorder scatters live keys out of prefix order: count must
         # cover every live block (dead keys inside are guarded in-kernel);
@@ -1247,7 +1286,36 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                            BVH_FAR)
         hits, _ = _finish(bvh8, rays, best_t, best_pk, overflow, R, T)
 
-    if retrace:
+    if retrace == "packet":
+        ov_ray = jnp.repeat(overflow, TILE)
+        ml2 = retrace_ml or 4 * max_leaves
+        mb2 = retrace_blocks or max_blocks
+
+        def do_retrace(_):
+            h2, ov2 = intersect_packets2(
+                bvh8, aux, rays, max_leaves=ml2,
+                t_max=jnp.where(ov_ray, tmax_r, 0.0),
+                interpret=interpret, retrace=False, sort=sort, fused=fused,
+                mt_precision=mt_precision, max_blocks=mb2, any_hit=any_hit,
+                tri_blk=tri_blk)
+            return h2.t, h2.u, h2.v, h2.prim, ov2
+
+        def skip(_):
+            return (hits.t, hits.u, hits.v, hits.prim,
+                    jnp.zeros((T,), bool))
+
+        wt, wu, wv, wp, ov2 = lax.cond(
+            jnp.any(overflow), do_retrace, skip, 0)
+        hits = Hits(
+            t=jnp.where(ov_ray, wt, hits.t),
+            u=jnp.where(ov_ray, wu, hits.u),
+            v=jnp.where(ov_ray, wv, hits.v),
+            prim=jnp.where(ov_ray, wp, hits.prim),
+            inst=hits.inst,
+        )
+        # only tiles whose ESCALATED budget also overflowed stay flagged
+        overflow = overflow & ov2
+    elif retrace:
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
 
         ov_ray = jnp.repeat(overflow, TILE)
@@ -1320,19 +1388,21 @@ def _finish(bvh8, rays, best_t, best_pk, overflow, R, T, kuv=None):
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
-                                   "wf_cap_factor", "max_blocks"))
+                                   "wf_cap_factor", "max_blocks",
+                                   "retrace_ml", "retrace_blocks"))
 def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
                          cutoff: float = 1.0 - 1e-3, max_leaves: int = 256,
-                         interpret: bool = False, retrace: bool = True,
-                         wf_cap_factor: int = 8, max_blocks: int = 128):
+                         interpret: bool = False, retrace=True,
+                         wf_cap_factor: int = 8, max_blocks: int = 128,
+                         retrace_ml: int = 0, retrace_blocks: int = 0):
     """Any-hit occlusion for segments origin->points sharing ONE origin,
     points in tile order (e.g. shadow rays traced FROM a point light).
     Directions stay unnormalized so t is the segment fraction; the t_max
     cutoff doubles as the early-exit bound (every tile starts with
     t_far = cutoff, so K2 stops at the first blocks that occlude).
     ~ IsOccluded (tiny_bvh.h:3382-3453). Returns ((R,) occluded, (T,)
-    overflow); with retrace=True overflowed tiles are resolved by the
-    any-hit wavefront in the same call."""
+    overflow); retrace modes as in intersect_packets2 (True/"wavefront"
+    = any-hit wavefront, "packet" = escalated-budget second pass)."""
     points = jnp.asarray(points, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)
     d = points - origin[None, :]
@@ -1342,10 +1412,12 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
     rays = make_rays(o, d)
     hits, overflow = intersect_packets2(
         bvh8, aux, rays, max_leaves=max_leaves, t_max=cutoff,
-        interpret=interpret, retrace=False, max_blocks=max_blocks,
-        any_hit=True)
+        interpret=interpret,
+        retrace="packet" if retrace == "packet" else False,
+        max_blocks=max_blocks, any_hit=True, retrace_ml=retrace_ml,
+        retrace_blocks=retrace_blocks)
     occ = (hits.prim >= 0) & (hits.t < cutoff)
-    if retrace:
+    if retrace and retrace != "packet":
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
 
         ov_ray = jnp.repeat(overflow, TILE)
@@ -1367,14 +1439,57 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
+                                   "wf_cap_factor", "max_blocks",
+                                   "retrace_ml", "retrace_blocks"))
+def is_occluded_packets2_sorted(bvh8: BVH8, aux: PacketAux, origin, points,
+                                cutoff: float = 1.0 - 1e-3,
+                                max_leaves: int = 256,
+                                interpret: bool = False, retrace=True,
+                                wf_cap_factor: int = 8,
+                                max_blocks: int = 128,
+                                retrace_ml: int = 0,
+                                retrace_blocks: int = 0):
+    """is_occluded_packets2 with DIRECTION-sorted bundles: shadow targets
+    regrouped by quantized-direction morton order before tiling.
+
+    Pixel-order tiles put silhouette/depth-discontinuity pixels — whose
+    hit points scatter across the scene — into the same bundle, giving a
+    few pathologically wide frusta (bunny bench: 4 tiles sweep >4096
+    leaves while the p90 tile sweeps 57 segments). For a SHARED origin,
+    direction order is exactly frustum tightness: points along the same
+    light direction form a narrow cone no matter how far apart they sit,
+    so sorted bundles bound the worst tile near the average one. Returns
+    ((R,) occluded in input order, (R,) residual-overflow mask)."""
+    points = jnp.asarray(points, jnp.float32)
+    origin = jnp.asarray(origin, jnp.float32)
+    d = points - origin[None, :]
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-20)
+    from tinybvh_tpu.traverse.packet import _spread10
+
+    q = jnp.clip(((dn + 1.0) * 0.5 * 1024.0).astype(jnp.int32), 0, 1023)
+    key = (_spread10(q[:, 0]) | (_spread10(q[:, 1]) << 1)
+           | (_spread10(q[:, 2]) << 2))
+    order = jnp.argsort(key)
+    inverse = jnp.argsort(order)
+    occ, overflow = is_occluded_packets2(
+        bvh8, aux, origin, points[order], cutoff=cutoff,
+        max_leaves=max_leaves, interpret=interpret, retrace=retrace,
+        wf_cap_factor=wf_cap_factor, max_blocks=max_blocks,
+        retrace_ml=retrace_ml, retrace_blocks=retrace_blocks)
+    return occ[inverse], jnp.repeat(overflow, TILE)[inverse]
+
+
+@partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "any_hit", "t_max_static",
-                                   "max_blocks"))
+                                   "max_blocks", "retrace_ml",
+                                   "retrace_blocks"))
 def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
                               scene_lo, scene_hi, max_leaves: int = 256,
-                              interpret: bool = False, retrace: bool = True,
+                              interpret: bool = False, retrace=True,
                               wf_cap_factor: int = 8, any_hit: bool = False,
                               t_max_static: float = BVH_FAR,
-                              max_blocks: int = 128):
+                              max_blocks: int = 128, retrace_ml: int = 0,
+                              retrace_blocks: int = 0):
     """Packet trace v2 for INCOHERENT rays: coherence-sort into tiles
     (direction cell + origin morton), trace, scatter back to input order.
     Returns (Hits in input order, per-ray fallback mask).
@@ -1394,7 +1509,8 @@ def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
     hits, overflow = intersect_packets2(
         bvh8, aux, rs, max_leaves=max_leaves, interpret=interpret,
         retrace=retrace, wf_cap_factor=wf_cap_factor, any_hit=any_hit,
-        t_max=t_max_static, max_blocks=max_blocks)
+        t_max=t_max_static, max_blocks=max_blocks, retrace_ml=retrace_ml,
+        retrace_blocks=retrace_blocks)
     ov_ray = jnp.repeat(overflow, TILE)[inverse]
     return Hits(t=hits.t[inverse], u=hits.u[inverse], v=hits.v[inverse],
                 prim=hits.prim[inverse], inst=hits.inst[inverse]), ov_ray
