@@ -3,14 +3,31 @@
 The TPU-native *fast* builder. The reference's fast path is the AVX binned
 builder (tiny_bvh.h:6400-6682) — a SIMD version of the same serial
 recursion. On TPU the right fast build is a different algorithm entirely:
-Karras-2012 parallel binary radix trees over sorted Morton codes, where
-every internal node is derived independently with O(log n) bit arithmetic —
-all N-wide vector ops, one sort, no recursion. Quality is below binned SAH
-(use builders.binned for quality, this for dynamic geometry).
+a parallel binary radix tree over sorted Morton codes. Quality is below
+binned SAH (use builders.binned for quality, this for dynamic geometry).
+
+TREE EMISSION — Cartesian-tree / ANSV formulation (r4). The Karras-2012
+per-node binary searches are redundant on TPU: each of the ~100 search
+iterations issues a data-dependent (N,) gather, and XLA TPU gathers cost
+~2 ms per chained step at 262k elements — the searches alone were 422 ms
+of a 623 ms build (benchmarks/lbvh_probe.py). Instead observe that the
+radix tree IS the Cartesian tree (min at root) of the ADJACENT-pair
+prefix deltas D[0..N-2], which are one shifted vector op. Every node's
+leaf range and parent then follow from its two nearest-smaller-value
+(ANSV) bounds, and because augmented deltas take only 65 distinct values
+(prefix length 0..64), ANSV is computed with 65-CHANNEL cumulative
+scans — zero gathers, zero search loops:
+
+  a[i] = nearest j < i with D[j] <= D[i]   (channel cummax, exclusive)
+  b[i] = nearest j > i with D[j] <  D[i]   (reverse channel cummin)
+  range  = leaves [a+1, b]   (sentinels -1 / N-1)
+  parent = deeper of splits a, b (larger D; tie -> b), side from which
+  children = parent-pointer inversion — two scatters; child slots then
+  read the inverted table as a CONTIGUOUS slice (no gather at all)
 
 Produces the canonical BVH2 SoA layout:
-  node 0 = root, node 1 reserved; internal node i (0-based in [0, N-2))
-  maps to slot i+2's sibling pairing via explicit child indices.
+  node 0 = root, node 1 reserved; internal radix node i's two children
+  occupy the adjacent pair (2 + 2i, 3 + 2i).
 
 Reference for behavior parity: BVH::Build topology invariants
 (tiny_bvh.h:2261-2461) — AABB containment, prim permutation completeness.
@@ -27,6 +44,11 @@ from jax import lax
 
 from tinybvh_tpu.core.vecmath import morton_encode_3d
 from tinybvh_tpu.layouts.bvh2 import BVH2
+
+# augmented prefix-delta values: 0..31 (code prefix) and 33..64 (equal
+# codes, index prefix) -> 65 scan channels
+_N_CHAN = 65
+
 
 @partial(jax.jit, static_argnames=())
 def build_lbvh(tris) -> BVH2:
@@ -66,137 +88,124 @@ def build_lbvh(tris) -> BVH2:
     order = jnp.argsort(codes, stable=True)
     scode = codes[order]
 
-    # common-prefix length between sorted keys i and j; equal codes fall
-    # back to position bits (Karras §4: augmented key code⧺index), giving
-    # an effective 64-bit key without needing uint64
-    def delta(i, j):
-        valid = (j >= 0) & (j < N)
-        jj = jnp.clip(j, 0, N - 1)
-        x = scode[i] ^ scode[jj]
-        tie = x == 0
-        y = (i.astype(jnp.uint32)) ^ (jj.astype(jnp.uint32))
-        clz = jnp.where(
-            tie,
-            64 - _bit_length_u32(y),
-            32 - _bit_length_u32(x),
-        )
-        return jnp.where(valid, clz, -1)
+    # ---- adjacent augmented deltas (one shifted vector op) --------------
+    # D[i] = common-prefix length of sorted keys i, i+1; equal codes fall
+    # back to position bits (Karras §4 augmented key code⧺index), giving
+    # unique-enough keys without uint64. Values in [0, 64].
+    idx = jnp.arange(N - 1, dtype=jnp.int32)
+    x = scode[:-1] ^ scode[1:]
+    tie = x == 0
+    y = idx.astype(jnp.uint32) ^ (idx + 1).astype(jnp.uint32)
+    D = jnp.where(tie, 64 - _bit_length_u32(y), 32 - _bit_length_u32(x))
 
-    idx = jnp.arange(N - 1)
+    # ---- ANSV via 65-channel scans (no gathers) --------------------------
+    # channel layout (C, N-1): lanes along splits
+    chan = jnp.arange(_N_CHAN, dtype=jnp.int32)[:, None]          # (C, 1)
+    onehot = D[None, :] == chan                                   # (C, N-1)
+    # a[i] = max{ j < i : D[j] <= D[i] } : exclusive running last-position
+    pos = jnp.where(onehot, idx[None, :], -1)
+    lastpos = lax.cummax(pos, axis=1)
+    lastpos_excl = jnp.concatenate(
+        [jnp.full((_N_CHAN, 1), -1, lastpos.dtype), lastpos[:, :-1]], axis=1)
+    a = jnp.max(jnp.where(chan <= D[None, :], lastpos_excl, -1), axis=0)
+    # b[i] = min{ j > i : D[j] < D[i] } : exclusive reverse next-position
+    BIG = jnp.int32(2**30)
+    posr = jnp.where(onehot, idx[None, :], BIG)
+    nextpos = lax.cummin(posr[:, ::-1], axis=1)[:, ::-1]
+    nextpos_excl = jnp.concatenate(
+        [nextpos[:, 1:], jnp.full((_N_CHAN, 1), BIG, nextpos.dtype)], axis=1)
+    b_raw = jnp.min(jnp.where(chan < D[None, :], nextpos_excl, BIG), axis=0)
+    no_b = b_raw >= BIG
+    b = jnp.where(no_b, N - 1, b_raw)  # leaf-inclusive right bound
 
-    # Karras: determine direction and range for each internal node
-    d = jnp.sign(delta(idx, idx + 1) - delta(idx, idx - 1)).astype(jnp.int32)
-    d = jnp.where(d == 0, 1, d)
-    delta_min = delta(idx, idx - d)
+    # ---- parent pointers (2 gathers) + inversion (2 scatters) -----------
+    Dpad = jnp.concatenate([D, jnp.full((1,), -1, D.dtype)])  # D[-1] sentinel
+    Da = jnp.where(a >= 0, Dpad[jnp.maximum(a, 0)], -1)
+    Db = jnp.where(no_b, -1, Dpad[jnp.minimum(b, N - 2)])
+    # deeper bounding split = parent; tie -> b (the right split is the
+    # descendant of the left one under the leftmost-min-root convention)
+    par_is_b = Db >= Da
+    parent_i = jnp.where(par_is_b, b, a)                     # (N-1,)
+    side_i = jnp.where(par_is_b, 0, 1)                       # b -> left child
+    is_root = (a < 0) & no_b
+    root = jnp.argmin(jnp.where(is_root, 0, 1))              # leftmost min
 
-    # find range end via exponential search + binary search (vectorized)
-    def find_lmax(_, lmax):
-        probe = idx + lmax * d
-        more = delta(idx, probe) > delta_min
-        return jnp.where(more, lmax * 2, lmax)
+    # leaves: leaf k is bounded by splits k-1 and k; deeper one adopts it
+    lk = jnp.arange(N, dtype=jnp.int32)
+    Dl = jnp.where(lk > 0, Dpad[jnp.maximum(lk - 1, 0)], -1)
+    Dr = jnp.where(lk < N - 1, Dpad[jnp.minimum(lk, N - 2)], -1)
+    par_is_r = Dr >= Dl
+    parent_k = jnp.where(par_is_r, lk, lk - 1)
+    side_k = jnp.where(par_is_r, 0, 1)
 
-    lmax = lax.fori_loop(0, 32, find_lmax, jnp.full(N - 1, 2))
-
-    def bin_search_l(carry, _):
-        l, t = carry
-        t = t >> 1  # lmax is a power of two → exact halving
-        probe = idx + (l + t) * d
-        ok = (t > 0) & (delta(idx, probe) > delta_min)
-        return (jnp.where(ok, l + t, l), t), None
-
-    (l, _), _ = lax.scan(
-        bin_search_l,
-        (jnp.zeros(N - 1, jnp.int32), lmax.astype(jnp.int32)),
-        None, length=34,
-    )
-    j = idx + l * d  # other end of range
-
-    # find split position via binary search on delta(i, j) prefix
-    delta_node = delta(idx, j)
-    span = jnp.abs(j - idx)
-
-    def bin_search_s(carry, _):
-        s, t = carry
-        t = (t + 1) >> 1  # ceil(t/2); sticks at 1, which is safe because
-        # delta(i, i+k·d) is monotone in k — extra unit steps are no-ops
-        probe = idx + (s + t) * d
-        ok = (t > 0) & (s + t < span) & (delta(idx, probe) > delta_node)
-        return (jnp.where(ok, s + t, s), t), None
-
-    (s, _), _ = lax.scan(
-        bin_search_s,
-        (jnp.zeros(N - 1, jnp.int32), span.astype(jnp.int32)),
-        None, length=34,
-    )
-    gamma = idx + s * d + jnp.minimum(d, 0)  # split index
-
-    # children of internal node i: [min(i,j), gamma] and [gamma+1, max(i,j)]
-    left_is_leaf = jnp.minimum(idx, j) == gamma
-    right_is_leaf = jnp.maximum(idx, j) == gamma + 1
+    # invert: inv[p, s] = child of internal p on side s; leaves hold their
+    # sorted position, internals N + id (both scatters hit disjoint slots)
+    inv = jnp.full((N - 1) * 2, -1, jnp.int32)
+    flat_i = parent_i * 2 + side_i
+    inv = inv.at[jnp.where(is_root, 2 * (N - 1) - 1, flat_i)].max(
+        jnp.where(is_root, -1, N + idx))
+    inv = inv.at[parent_k * 2 + side_k].max(lk)
 
     # ---- internal-node AABBs: range min/max over sorted leaf boxes ------
-    # Internal node i covers the CONTIGUOUS sorted-leaf range
-    # [min(i,j), max(i,j)] (Karras §4), so its AABB is a range reduction —
-    # computed scatter-free with a doubling (sparse-table) sweep: at level
-    # k the running table T holds window-2^k mins; nodes whose range
-    # length has floor(log2) == k read their two overlapping windows at
-    # that level. O(N log N) gathers/selects, NO scatters (the round-2
-    # implementation's 64 full-array scatter passes were ~344 ms on
-    # device; TPU scatters serialize).
+    # doubling (sparse-table) sweep. r4: the per-LEVEL range lookups were
+    # the whole build's bottleneck (72 data-dependent gathers = 172 ms of
+    # a 199 ms build at 262k; XLA TPU gathers cost ~2.4 ms each chained).
+    # Build ALL K window tables first — pure contiguous slice shifts —
+    # then stack them and answer every node's two range lookups with ONE
+    # gather per bound (4 total): idx = klev*N + position.
     sorted_fmin = fmin[order]
     sorted_fmax = fmax[order]
-    rlo = jnp.minimum(idx, j)
-    rhi = jnp.maximum(idx, j)
+    rlo = a + 1
+    rhi = b
     rlen = rhi - rlo + 1                                  # >= 2
     klev = _bit_length_u32(rlen.astype(jnp.uint32)) - 1   # floor(log2)
     K = max(1, int(np.ceil(np.log2(max(N, 2)))) + 1)
 
-    amin = jnp.zeros((N - 1, 3), jnp.float32)
-    amax = jnp.zeros((N - 1, 3), jnp.float32)
+    # separate 3-wide min/max tables: a fused (K*N, 6) variant measured
+    # SLOWER (50 vs 36 ms at 262k) — XLA's gather lowering prefers the
+    # narrower rows here
     Tmin, Tmax = sorted_fmin, sorted_fmax
-    ar = jnp.arange(N, dtype=jnp.int32)
-    for k in range(K):
-        take = (klev == k)[:, None]
-        b_ix = rhi - (1 << k) + 1
-        amin = jnp.where(
-            take, jnp.minimum(Tmin[rlo], Tmin[b_ix]), amin)
-        amax = jnp.where(
-            take, jnp.maximum(Tmax[rlo], Tmax[b_ix]), amax)
+    mins, maxs = [Tmin], [Tmax]
+    for k in range(K - 1):
         if (1 << (k + 1)) <= N:
-            nxt = jnp.minimum(ar + (1 << k), N - 1)
-            Tmin = jnp.minimum(Tmin, Tmin[nxt])
-            Tmax = jnp.maximum(Tmax, Tmax[nxt])
+            sh = 1 << k
+            tail_mn = jnp.broadcast_to(Tmin[-1:], (sh, 3))
+            tail_mx = jnp.broadcast_to(Tmax[-1:], (sh, 3))
+            Tmin = jnp.minimum(Tmin,
+                               jnp.concatenate([Tmin[sh:], tail_mn]))
+            Tmax = jnp.maximum(Tmax,
+                               jnp.concatenate([Tmax[sh:], tail_mx]))
+        mins.append(Tmin)
+        maxs.append(Tmax)
+    TM = jnp.stack(mins).reshape(K * N, 3)                # (K*N, 3)
+    TX = jnp.stack(maxs).reshape(K * N, 3)
+    base = klev * N
+    b_ix = rhi - jnp.left_shift(1, klev) + 1
+    amin = jnp.minimum(TM[base + rlo], TM[base + b_ix])   # (N-1, 3)
+    amax = jnp.maximum(TX[base + rlo], TX[base + b_ix])
 
-    # ---- slot assembly: pure gathers ------------------------------------
-    # BVH2 convention (right child = left child + 1): internal node i's
-    # children occupy slots (2 + 2i, 3 + 2i); root (internal 0) at slot 0,
-    # slot 1 reserved. Slot s >= 2 therefore holds the child of internal
-    # node p = (s-2)>>1 on side (s-2)&1 — every slot's content is a GATHER
-    # from its parent's split, no scatter needed.
+    # ---- slot assembly ---------------------------------------------------
+    # slot s >= 2 holds the child of internal p = (s-2)>>1 on side
+    # (s-2)&1 — which is exactly inv[s-2]: a CONTIGUOUS slice, no gather.
     cap = 2 * N + 2
-    sl = jnp.arange(cap, dtype=jnp.int32)
-    p = jnp.clip((sl - 2) >> 1, 0, N - 2)
-    side = (sl - 2) & 1
-    child = gamma[p] + side                   # leaf position OR internal id
-    is_leaf_child = jnp.where(side == 0, left_is_leaf[p], right_is_leaf[p])
-    live = (sl >= 2) & (sl - 2 < 2 * (N - 1))
+    c = jnp.concatenate([jnp.zeros(2, jnp.int32), inv,
+                         jnp.zeros(cap - 2 * N, jnp.int32)])
+    live = (jnp.arange(cap) >= 2) & (jnp.arange(cap) < 2 * N) & (c >= 0)
+    is_leaf_child = live & (c < N)
+    # one combined gather over [leaf boxes | internal boxes] per bound
+    tab_min = jnp.concatenate([sorted_fmin, amin], axis=0)   # (2N-1, 3)
+    tab_max = jnp.concatenate([sorted_fmax, amax], axis=0)
+    ci = jnp.clip(c, 0, 2 * N - 2)
+    node_min = jnp.where(live[:, None], tab_min[ci], 1e30)
+    node_max = jnp.where(live[:, None], tab_max[ci], -1e30)
+    left_first = jnp.where(is_leaf_child, c,
+                           jnp.where(live, 2 + 2 * jnp.maximum(c - N, 0), 0))
+    count = jnp.where(is_leaf_child, 1, 0).astype(jnp.int32)
 
-    cl = jnp.clip(child, 0, N - 1)
-    ci = jnp.clip(child, 0, N - 2)
-    node_min = jnp.where(
-        (live & is_leaf_child)[:, None], sorted_fmin[cl],
-        jnp.where(live[:, None], amin[ci], 1e30))
-    node_max = jnp.where(
-        (live & is_leaf_child)[:, None], sorted_fmax[cl],
-        jnp.where(live[:, None], amax[ci], -1e30))
-    left_first = jnp.where(live & is_leaf_child, cl,
-                           jnp.where(live, 2 + 2 * ci, 0))
-    count = jnp.where(live & is_leaf_child, 1, 0).astype(jnp.int32)
-
-    # root = internal node 0
-    node_min = node_min.at[0].set(amin[0])
-    node_max = node_max.at[0].set(amax[0])
-    left_first = left_first.at[0].set(2)
+    # root = leftmost bound-free split
+    node_min = node_min.at[0].set(amin[root])
+    node_max = node_max.at[0].set(amax[root])
+    left_first = left_first.at[0].set(2 + 2 * root.astype(jnp.int32))
     count = count.at[0].set(0)
 
     return BVH2(
