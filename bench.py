@@ -127,8 +127,8 @@ class _SkipPhase(Exception):
 def bench_scene(tris, name, ref_entry=None,
                 phases=("primary", "shadow", "diffuse"),
                 max_blocks=256, max_blocks_primary=None,
-                ml_primary=512, ml_shadow=1024, ml_diffuse=8192,
-                rml_primary=2048, rml_shadow=4096, rml_diffuse=32768):
+                ml_primary=512, ml_shadow=4096, ml_diffuse=8192,
+                rml_primary=2048, rml_shadow=16384, rml_diffuse=32768):
     import jax
     import jax.numpy as jnp
 
@@ -274,7 +274,8 @@ def bench_scene(tris, name, ref_entry=None,
         # DIRECTION-sorted bundles: pixel-order tiles at silhouettes put
         # scattered hit points into one bundle (probe: 4 tiles sweep
         # >4096 leaves); for a shared origin, direction order bounds the
-        # worst tile near the average (max 889 segs sorted vs 2218)
+        # worst tile near the average (max 889 segs sorted vs 2218 —
+        # ml_shadow=4096 covers it, so the escalation stays cold)
         return is_occluded_packets2_sorted(
             bvh.bvh8, aux, light_dev, p_dev, cutoff=cut_dev,
             max_leaves=ml_shadow, max_blocks=max_blocks,
@@ -524,15 +525,17 @@ def _sub_section(section):
         # 2x2x2 instance grid of ONE bunny BLAS (≙ tiny_bvh_anim.cpp's
         # TLAS setup): the bucketed per-tile-worklist packet engine vs
         # the two-level wavefront on identical rays
-        out = _bench_instances(bunny, nx=2, ny=2, nz=2, rounds=8,
+        # probed per-tile candidate max is 5 → rounds=6 covers exactly
+        out = _bench_instances(bunny, nx=2, ny=2, nz=2, rounds=6,
                                ml=1024, rml=4096, with_wavefront=True)
     elif section == "inst512":
         # 8x8x8 = 512 instances of one bunny BLAS (≙ the 3,375-dragon
         # TLAS demo, tiny_bvh_gpu2.cpp:124-136): evidence the per-tile
         # instance-worklist design scales to hundreds of instances —
         # compile cost is ONE scan body regardless of instance count,
-        # runtime scales with per-tile overlap (rounds), not with I
-        out = _bench_instances(bunny, nx=8, ny=8, nz=8, rounds=16,
+        # runtime scales with per-tile overlap (probed max 27 candidate
+        # instances per tile through the grid → rounds=28), not with I
+        out = _bench_instances(bunny, nx=8, ny=8, nz=8, rounds=28,
                                ml=1024, rml=4096, with_wavefront=False,
                                oracle_rays=2048)
     elif section == "builddev":
@@ -615,11 +618,25 @@ def _sub_section(section):
                                  .astype(jnp.float32))), 4),
         }
         _emit(out)
+        # exactness gate vs the lockstep two-level oracle on a subset
+        # (≙ ValidateTraceResult, tiny_bvh_speedtest.cpp:338-381)
+        from tinybvh_tpu.tlas.instance import intersect_tlas8
+
+        sub = o.shape[0] // 2 - 1024
+        rsub = make_rays(np.asarray(rays.o)[sub:sub + 2048],
+                         np.asarray(rays.d)[sub:sub + 2048])
+        ho = intersect_tlas8(tp.tlas, rsub, 1e30)
+        out["oracle_prim_agree"] = round(float(jnp.mean(
+            (h.prim[sub:sub + 2048] == ho.prim).astype(jnp.float32))), 5)
+        _emit(out)
         t = _amortized(scene_trace, n=4)
         out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
         _emit(out)
 
         def wf_trace():
+            # the instanced (39-node) scene-graph path, for comparison;
+            # its wavefront is budget-capped (cap_factor=6) so it is a
+            # throughput row, not an exactness oracle
             hh, _ = intersect_tlas_wavefront(sc.tlas, rays, far_dev,
                                              cap_factor=6)
             return hh
@@ -627,14 +644,6 @@ def _sub_section(section):
         try:
             hw = wf_trace()
             jax.block_until_ready(hw.t)
-            # collapsed and instanced traces see the same world geometry:
-            # hit-t agreement is the cross-engine exactness check
-            # (prim ids differ by construction — merged reindexing)
-            ht, hwt = h.t, hw.t
-            agree = float(jnp.mean((jnp.abs(ht - hwt)
-                                    <= 1e-3 * jnp.maximum(jnp.abs(hwt), 1))
-                                   .astype(jnp.float32)))
-            out["packet_vs_wavefront_t_agree"] = round(agree, 5)
             t = _amortized(wf_trace, n=4)
             out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
         except Exception as e:  # pragma: no cover - device-dependent
@@ -691,9 +700,9 @@ def main():
     # LAST: its compile time is the least predictable and its metric
     # the least critical.
     plan = [("bunny", 420, 120), ("grid4", 150, 80),
-            ("grid16", 300, 140), ("inst8", 200, 110),
-            ("inst512", 220, 110), ("drone", 150, 80),
-            ("builddev", 200, 100)]
+            ("grid16", 300, 140), ("inst8", 240, 110),
+            ("inst512", 240, 110), ("drone", 160, 80),
+            ("builddev", 180, 100)]
     for section, max_budget, min_need in plan:
         if section not in only:
             continue

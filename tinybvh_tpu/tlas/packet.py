@@ -284,7 +284,8 @@ def intersect_tlas_packets2_bucketed(tp: TLASPacket, rays: Rays,
     v = jnp.zeros(R, jnp.float32)
     prim = jnp.full(R, -1, jnp.int32)
     inst = jnp.full(R, -1, jnp.int32)
-    overflow = jnp.zeros(T, bool)
+    overflow = jnp.zeros(T, bool)   # leaf-budget overflow (per-round)
+    cand_ovf = jnp.zeros(T, bool)   # candidate list exceeded `rounds`
 
     for b in sorted(set(tp.blas_of)):
         ids_np = np.array([i for i, bb in enumerate(tp.blas_of) if bb == b],
@@ -312,7 +313,7 @@ def intersect_tlas_packets2_bucketed(tp: TLASPacket, rays: Rays,
             cand = jnp.concatenate(
                 [cand, jnp.full((T, rounds - cand.shape[1]), -1,
                                 jnp.int32)], axis=1)
-        overflow = overflow | (jnp.sum(hit_i, axis=1) > rounds)
+        cand_ovf = cand_ovf | (jnp.sum(hit_i, axis=1) > rounds)
 
         blas = tp.blases[b]
         aux = tp.auxes[b]
@@ -352,8 +353,13 @@ def intersect_tlas_packets2_bucketed(tp: TLASPacket, rays: Rays,
     hits = Hits(t=jnp.where(prim >= 0, t_best, BVH_FAR), u=u, v=v,
                 prim=prim, inst=inst)
 
-    if retrace and retrace != "packet":
-        ov_ray = jnp.repeat(overflow, TILE)
+    # in "packet" mode per-round budget overflow is already escalated
+    # in-round; candidate-count overflow (> rounds) still needs the
+    # two-level wavefront — in both modes it fires only when tiles
+    # actually overflowed (lax.cond)
+    need_wf = cand_ovf if retrace == "packet" else (overflow | cand_ovf)
+    if retrace:
+        ov_ray = jnp.repeat(need_wf, TILE)
 
         def do_retrace(_):
             wf_tmax = jnp.where(ov_ray, tmax_r, 0.0)
@@ -367,7 +373,7 @@ def intersect_tlas_packets2_bucketed(tp: TLASPacket, rays: Rays,
                     jnp.zeros((), bool))
 
         wt, wu, wv, wp, wi, wf_ovf = lax.cond(
-            jnp.any(overflow), do_retrace, skip, 0)
+            jnp.any(need_wf), do_retrace, skip, 0)
         hits = Hits(
             t=jnp.where(ov_ray, wt, hits.t),
             u=jnp.where(ov_ray, wu, hits.u),
@@ -375,7 +381,10 @@ def intersect_tlas_packets2_bucketed(tp: TLASPacket, rays: Rays,
             prim=jnp.where(ov_ray, wp, hits.prim),
             inst=jnp.where(ov_ray, wi, hits.inst),
         )
-        overflow = overflow & wf_ovf
+        resolved = need_wf & ~wf_ovf
+        overflow = (overflow | cand_ovf) & ~resolved
+    else:
+        overflow = overflow | cand_ovf
     return hits, overflow
 
 
