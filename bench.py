@@ -204,6 +204,29 @@ def bench_scene(tris, name, ref_entry=None,
         out["build_device_error"] = repr(e)[:160]
 
 
+    # ---- per-frame rigid update (≙ the refit rows of the reference
+    # bench, tiny_bvh_speedtest.cpp:754-806): direct 8-wide refit +
+    # packet-aux rebuild, both single jitted dispatches (warm here,
+    # measure in the amortized region below)
+    refit_frame = None
+    try:
+        from tinybvh_tpu.builders.refit import bvh8_refit_plan, refit_bvh8
+        from tinybvh_tpu.traverse.packet2 import build_packet_aux
+
+        child_h = (bvh._bvh8_host["child"] if bvh._bvh8_host is not None
+                   else np.asarray(bvh.bvh8.child))
+        refit_plan = bvh8_refit_plan(child_h)
+        tris_dev_r = bvh.tris
+
+        def refit_frame():
+            b8 = refit_bvh8(bvh.bvh8, tris_dev_r, refit_plan)
+            return build_packet_aux(b8).gtab_pad
+
+        jax.block_until_ready(refit_frame())
+        mark("refit_warm")
+    except Exception as e:  # pragma: no cover - device-dependent
+        out["refit_error"] = repr(e)[:160]
+
     aux = bvh.packet_aux
     jax.block_until_ready(aux.gtab_pad)
 
@@ -376,6 +399,14 @@ def bench_scene(tris, name, ref_entry=None,
             out["build_device_mtris_s"] = round(n_tris / t / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out["build_device_error"] = repr(e)[:160]
+        _emit(out)
+    if refit_frame is not None:
+        try:
+            t = _amortized(refit_frame, n=4)
+            out["refit_frame_s"] = round(t, 4)
+            out["refit_mtris_s"] = round(n_tris / t / 1e6, 3)
+        except Exception as e:  # pragma: no cover
+            out["refit_error"] = repr(e)[:160]
         _emit(out)
     return out
 
@@ -703,6 +734,10 @@ def main():
             ("grid16", 300, 140), ("inst8", 240, 110),
             ("inst512", 240, 110), ("drone", 160, 80),
             ("builddev", 180, 100)]
+    # rehearsal runs (cold cache) scale every section cap up so first
+    # compiles land in .jax_cache; the driver's run uses the 1x plan
+    scale = float(os.environ.get("BENCH_SECTION_SCALE", "1"))
+    plan = [(s, b * scale, m) for s, b, m in plan]
     for section, max_budget, min_need in plan:
         if section not in only:
             continue

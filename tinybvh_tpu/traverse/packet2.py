@@ -1115,7 +1115,7 @@ def _decode_keys(keys, leaf_bits=_LEAF_BITS):
                                    "wf_cap_factor", "sort", "fused",
                                    "mt_precision", "max_blocks", "any_hit",
                                    "tri_blk", "return_counts", "retrace_ml",
-                                   "retrace_blocks"))
+                                   "retrace_blocks", "tiles_per_step"))
 def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_leaves: int = 256, t_max=BVH_FAR,
                        interpret: bool = False, retrace=True,
@@ -1123,7 +1123,8 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        fused: bool = True, mt_precision: str = "highest",
                        max_blocks: int = 128, any_hit: bool = False,
                        tri_blk: int = 256, return_counts: bool = False,
-                       retrace_ml: int = 0, retrace_blocks: int = 0):
+                       retrace_ml: int = 0, retrace_blocks: int = 0,
+                       tiles_per_step: int = 8):
     """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
     origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
     Returns (Hits, per-tile overflow mask).
@@ -1255,7 +1256,8 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
             o_c, d_t, aux.gtab_pad, k_cap=Kk,
             interpret=interpret, omap_s=aux.omap_s,
             mt_precision=mt_precision, any_hit=any_hit,
-            leaf_bits=leaf_bits, tri_blk=tb_eff)
+            leaf_bits=leaf_bits, tri_blk=tb_eff,
+            tiles_per_step=tiles_per_step)
         # prim/u/v all recovered in-kernel: no (R,)-element XLA gathers
         # (each cost milliseconds: random row gathers waste 15/16 of
         # every (8, 128) granule)
