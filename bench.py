@@ -428,6 +428,12 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
     n_inst = nx * ny * nz
     bvh_b = BVH(bunny)
     blas = bvh_b.bvh8
+    if rml == "full":
+        # escalation budget covering the WHOLE BLAS: a tile that sweeps
+        # every segment of its instance still traces exact, so the
+        # wavefront fallback can only fire for candidate overflow
+        n_segs = -(-int(blas.n_leaves) // 4)
+        rml = 4 * (-(-n_segs // 8) * 8)
     ex = bunny.reshape(-1, 3).max(0) - bunny.reshape(-1, 3).min(0)
     mats = []
     for i in range(nx):
@@ -567,7 +573,7 @@ def _sub_section(section):
         # runtime scales with per-tile overlap (probed max 27 candidate
         # instances per tile through the grid → rounds=28), not with I
         out = _bench_instances(bunny, nx=8, ny=8, nz=8, rounds=28,
-                               ml=1024, rml=4096, with_wavefront=False,
+                               ml=1024, rml="full", with_wavefront=False,
                                oracle_rays=2048)
     elif section == "builddev":
         # on-device binned-SAH builder (builders/binned_jax) in its own

@@ -353,11 +353,13 @@ def intersect_tlas_packets2_bucketed(tp: TLASPacket, rays: Rays,
     hits = Hits(t=jnp.where(prim >= 0, t_best, BVH_FAR), u=u, v=v,
                 prim=prim, inst=inst)
 
-    # in "packet" mode per-round budget overflow is already escalated
-    # in-round; candidate-count overflow (> rounds) still needs the
-    # two-level wavefront — in both modes it fires only when tiles
-    # actually overflowed (lax.cond)
-    need_wf = cand_ovf if retrace == "packet" else (overflow | cand_ovf)
+    # in "packet" mode per-round budget overflow is escalated in-round;
+    # whatever SURVIVES the escalation — plus candidate-count overflow
+    # (> rounds) — still needs the two-level wavefront. In both modes it
+    # fires only when tiles actually overflowed (lax.cond); callers that
+    # size retrace_ml to the BLAS's full segment count make per-round
+    # overflow impossible, leaving only the candidate path
+    need_wf = overflow | cand_ovf
     if retrace:
         ov_ray = jnp.repeat(need_wf, TILE)
 
