@@ -127,7 +127,7 @@ class _SkipPhase(Exception):
 def bench_scene(tris, name, ref_entry=None,
                 phases=("primary", "shadow", "diffuse"),
                 max_blocks=256, max_blocks_primary=None,
-                ml_primary=512, ml_shadow=4096, ml_diffuse=8192,
+                ml_primary=512, ml_shadow=4096, ml_diffuse=21504,
                 rml_primary=2048, rml_shadow=16384, rml_diffuse=32768):
     import jax
     import jax.numpy as jnp
@@ -353,9 +353,10 @@ def bench_scene(tris, name, ref_entry=None,
             # EXACT incoherent trace: the true survivor distribution is
             # mean 616 segs/tile, p90 2178, max 5313 (overflow_probe) —
             # packet frusta fundamentally over-cover incoherent bundles,
-            # so exactness costs ~5x the truncated-list throughput
-            # (diffuse_probe: 1.44 exact vs 7.55 with 36% of rays
-            # dropped). The number reported here is the honest one.
+            # so exactness costs ~3-5x the truncated-list throughput.
+            # ml_diffuse covers the measured max (5376 >= 5313 segments)
+            # so the escalation branch never fires per call
+            # (diffuse_split measured the firing pass-2 at ~100 ms/call).
             return intersect_packets2_sorted(
                 bvh.bvh8, aux, drays, lo_dev, hi_dev,
                 max_leaves=ml_diffuse, t_max_static=1e30,
