@@ -6,12 +6,13 @@ camera primary rays, shadow rays toward a point light, and incoherent
 diffuse bounce rays; report MRays/s. Scenes: the Stanford bunny
 (69,630 tris), a 2x2 bunny grid (278,520 tris) and a 4x4 grid (1.1M
 tris — the >=1M scale point), plus a glTF scene through the full scene
-layer, and an 8-instance TLAS scene traced by the per-instance packet
+layer and 8-/512-instance TLAS scenes through the bucketed packet
 engine. All traces ride the packet2 pipeline (dense Pallas cull + fused
-DMA/MT kernel). Leaf budgets are sized so no tile overflows its budget
-(the *_overflow_tiles fields attest: 0 = the trace is EXACT); the
-in-call wavefront retrace exists in the library but is excluded here
-because its compiled branch added ~10 min of remote compile per phase.
+DMA/MT kernel) and are EXACT: per-phase budgets cover the measured
+survivor distributions (benchmarks/overflow_probe.py) and the
+escalated-budget packet retrace catches any residue in-call — the
+*_overflow_* fields report what remains AFTER that (0 = exact,
+≙ the reference's ValidateTraceResult gate).
 
 KILL-SAFE STREAMING: the reference harness prints progressive
 per-section results as it goes (tiny_bvh_speedtest.cpp:592-1250); round
@@ -267,11 +268,14 @@ def bench_scene(tris, name, ref_entry=None,
     mbp = max_blocks_primary or max_blocks
 
     def primary():
+        # tri_blk=128: smaller MT super-blocks give the distance-gate
+        # early-exit finer granularity — A/B'd at +16% over 256 on the
+        # bunny camera phase (benchmarks/primary_ab.py)
         return intersect_packets2(bvh.bvh8, aux, rays,
                                   max_leaves=ml_primary,
                                   t_max=far_dev, max_blocks=mbp,
                                   retrace="packet", retrace_ml=rml_primary,
-                                  retrace_blocks=max_blocks)
+                                  retrace_blocks=max_blocks, tri_blk=128)
 
     # warm/compile the primary NOW; measurement happens after every
     # phase's compile+puts are done (compiles and H2D transfers issued
@@ -361,7 +365,7 @@ def bench_scene(tris, name, ref_entry=None,
                 bvh.bvh8, aux, drays, lo_dev, hi_dev,
                 max_leaves=ml_diffuse, t_max_static=1e30,
                 retrace="packet", retrace_ml=rml_diffuse,
-                retrace_blocks=512, max_blocks=max_blocks)
+                retrace_blocks=512, max_blocks=max_blocks, tri_blk=512)
 
         dh, dov = diffuse()
         jax.block_until_ready(dh.t)
@@ -470,17 +474,30 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
     out["packet_overflow_tiles"] = int(jnp.sum(ovf))
     _emit(out)
     if oracle_rays:
-        # exactness evidence on a subset (≙ ValidateTraceResult,
-        # tiny_bvh_speedtest.cpp:338-381): lockstep two-level oracle
+        # exactness evidence on a subset vs the lockstep two-level
+        # oracle. The gate is REFERENCE-STYLE t tolerance, not prim
+        # equality: ValidateTraceResult checksums hit-t at 1% and u/v at
+        # 5% "because different tri intersectors differ"
+        # (tiny_bvh_speedtest.cpp:338-381) — at 35M-tri density a pixel
+        # footprint spans dozens of triangles and sub-0.5%-t winners
+        # legitimately differ between the centered triple-product MT and
+        # the lockstep edge MT (probed median t delta 0.4%).
         from tinybvh_tpu.tlas.instance import intersect_tlas8
 
         sub = rays.o.shape[0] // 2 - oracle_rays // 2
         rsub = make_rays(np.asarray(rays.o)[sub:sub + oracle_rays],
                          np.asarray(rays.d)[sub:sub + oracle_rays])
         ho = intersect_tlas8(tp.tlas, rsub, 1e30)
-        agree = float(jnp.mean(
-            (h.prim[sub:sub + oracle_rays] == ho.prim).astype(jnp.float32)))
-        out["oracle_prim_agree"] = round(agree, 5)
+        hs = jax.tree_util.tree_map(
+            lambda a: a[sub:sub + oracle_rays], h)
+        both_miss = (hs.prim < 0) & (ho.prim < 0)
+        both_hit = (hs.prim >= 0) & (ho.prim >= 0)
+        t_ok = jnp.abs(hs.t - ho.t) <= 0.01 * jnp.maximum(
+            jnp.abs(ho.t), 1e-9)
+        out["oracle_t_agree"] = round(float(jnp.mean(
+            (both_miss | (both_hit & t_ok)).astype(jnp.float32))), 5)
+        out["oracle_inst_agree"] = round(float(jnp.mean(
+            (hs.inst == ho.inst).astype(jnp.float32))), 5)
         _emit(out)
     t = _amortized(packet_trace, n=4)
     out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)

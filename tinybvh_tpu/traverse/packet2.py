@@ -1391,12 +1391,14 @@ def _finish(bvh8, rays, best_t, best_pk, overflow, R, T, kuv=None):
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "max_blocks",
-                                   "retrace_ml", "retrace_blocks"))
+                                   "retrace_ml", "retrace_blocks",
+                                   "tri_blk"))
 def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
                          cutoff: float = 1.0 - 1e-3, max_leaves: int = 256,
                          interpret: bool = False, retrace=True,
                          wf_cap_factor: int = 8, max_blocks: int = 128,
-                         retrace_ml: int = 0, retrace_blocks: int = 0):
+                         retrace_ml: int = 0, retrace_blocks: int = 0,
+                         tri_blk: int = 256):
     """Any-hit occlusion for segments origin->points sharing ONE origin,
     points in tile order (e.g. shadow rays traced FROM a point light).
     Directions stay unnormalized so t is the segment fraction; the t_max
@@ -1417,7 +1419,7 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
         interpret=interpret,
         retrace="packet" if retrace == "packet" else False,
         max_blocks=max_blocks, any_hit=True, retrace_ml=retrace_ml,
-        retrace_blocks=retrace_blocks)
+        retrace_blocks=retrace_blocks, tri_blk=tri_blk)
     occ = (hits.prim >= 0) & (hits.t < cutoff)
     if retrace and retrace != "packet":
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
@@ -1442,7 +1444,8 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "max_blocks",
-                                   "retrace_ml", "retrace_blocks"))
+                                   "retrace_ml", "retrace_blocks",
+                                   "tri_blk"))
 def is_occluded_packets2_sorted(bvh8: BVH8, aux: PacketAux, origin, points,
                                 cutoff: float = 1.0 - 1e-3,
                                 max_leaves: int = 256,
@@ -1450,7 +1453,8 @@ def is_occluded_packets2_sorted(bvh8: BVH8, aux: PacketAux, origin, points,
                                 wf_cap_factor: int = 8,
                                 max_blocks: int = 128,
                                 retrace_ml: int = 0,
-                                retrace_blocks: int = 0):
+                                retrace_blocks: int = 0,
+                                tri_blk: int = 256):
     """is_occluded_packets2 with DIRECTION-sorted bundles: shadow targets
     regrouped by quantized-direction morton order before tiling.
 
@@ -1477,21 +1481,22 @@ def is_occluded_packets2_sorted(bvh8: BVH8, aux: PacketAux, origin, points,
         bvh8, aux, origin, points[order], cutoff=cutoff,
         max_leaves=max_leaves, interpret=interpret, retrace=retrace,
         wf_cap_factor=wf_cap_factor, max_blocks=max_blocks,
-        retrace_ml=retrace_ml, retrace_blocks=retrace_blocks)
+        retrace_ml=retrace_ml, retrace_blocks=retrace_blocks,
+        tri_blk=tri_blk)
     return occ[inverse], jnp.repeat(overflow, TILE)[inverse]
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "any_hit", "t_max_static",
                                    "max_blocks", "retrace_ml",
-                                   "retrace_blocks"))
+                                   "retrace_blocks", "tri_blk"))
 def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
                               scene_lo, scene_hi, max_leaves: int = 256,
                               interpret: bool = False, retrace=True,
                               wf_cap_factor: int = 8, any_hit: bool = False,
                               t_max_static: float = BVH_FAR,
                               max_blocks: int = 128, retrace_ml: int = 0,
-                              retrace_blocks: int = 0):
+                              retrace_blocks: int = 0, tri_blk: int = 256):
     """Packet trace v2 for INCOHERENT rays: coherence-sort into tiles
     (direction cell + origin morton), trace, scatter back to input order.
     Returns (Hits in input order, per-ray fallback mask).
@@ -1512,7 +1517,7 @@ def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
         bvh8, aux, rs, max_leaves=max_leaves, interpret=interpret,
         retrace=retrace, wf_cap_factor=wf_cap_factor, any_hit=any_hit,
         t_max=t_max_static, max_blocks=max_blocks, retrace_ml=retrace_ml,
-        retrace_blocks=retrace_blocks)
+        retrace_blocks=retrace_blocks, tri_blk=tri_blk)
     ov_ray = jnp.repeat(overflow, TILE)[inverse]
     return Hits(t=hits.t[inverse], u=hits.u[inverse], v=hits.v[inverse],
                 prim=hits.prim[inverse], inst=hits.inst[inverse]), ov_ray
