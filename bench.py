@@ -125,6 +125,21 @@ class _SkipPhase(Exception):
     pass
 
 
+# absolute section deadline (perf_counter units), set by _sub_section from
+# the parent's BENCH_SECTION_BUDGET env. Phases check it and SKIP instead
+# of running over: a subprocess KILLED mid-dispatch leaves the tunnel
+# device session half-open and the NEXT section's first dispatch blocks
+# on it for minutes (measured: a clean run's bunny section stalled 400+ s
+# after the previous run's tail sections were killed at their caps).
+_SECTION_DEADLINE = None
+
+
+def _time_left():
+    if _SECTION_DEADLINE is None:
+        return 1e9
+    return _SECTION_DEADLINE - time.perf_counter()
+
+
 def bench_scene(tris, name, ref_entry=None,
                 phases=("primary", "shadow", "diffuse"),
                 max_blocks=256, max_blocks_primary=None,
@@ -312,6 +327,9 @@ def bench_scene(tris, name, ref_entry=None,
     # best-effort: an error in one phase must not void the whole bench
     shadow_ready = False
     try:
+        if "shadow" in phases and _time_left() < 45:
+            out["shadow_skipped"] = "deadline"
+            phases = tuple(p for p in phases if p != "shadow")
         if "shadow" in phases:
             p_dev = shadow_points(hits.t)
             occ, sovf = shadow()
@@ -326,6 +344,9 @@ def bench_scene(tris, name, ref_entry=None,
     diffuse_ready = False
     try:
         if "diffuse" not in phases:
+            raise _SkipPhase()
+        if _time_left() < 45:
+            out["diffuse_skipped"] = "deadline"
             raise _SkipPhase()
         tris_dev = bvh.tris
 
@@ -383,35 +404,39 @@ def bench_scene(tris, name, ref_entry=None,
     out["primary_mrays"] = round(n_rays / t / 1e6, 3)
     mark("meas_primary")
     _emit(out)
-    if shadow_ready:
+    if shadow_ready and _time_left() > 30:
         try:
             t = _amortized(shadow)
             out["shadow_mrays"] = round(n_rays / t / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out["shadow_error"] = repr(e)[:160]
+        mark("meas_shadow")
         _emit(out)
-    if diffuse_ready:
+    if diffuse_ready and _time_left() > 40:
         try:
             t = _amortized(diffuse)
             out["diffuse_mrays"] = round(n_rays / t / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out["diffuse_error"] = repr(e)[:160]
+        mark("meas_diffuse")
         _emit(out)
-    if device_build is not None:
+    if device_build is not None and _time_left() > 25:
         try:
             t = _amortized(device_build, n=4)
             out["build_device_s"] = round(t, 4)
             out["build_device_mtris_s"] = round(n_tris / t / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out["build_device_error"] = repr(e)[:160]
+        mark("meas_builddev")
         _emit(out)
-    if refit_frame is not None:
+    if refit_frame is not None and _time_left() > 25:
         try:
             t = _amortized(refit_frame, n=4)
             out["refit_frame_s"] = round(t, 4)
             out["refit_mtris_s"] = round(n_tris / t / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out["refit_error"] = repr(e)[:160]
+        mark("meas_refit")
         _emit(out)
     return out
 
@@ -498,12 +523,18 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
             (both_miss | (both_hit & t_ok)).astype(jnp.float32))), 5)
         out["oracle_inst_agree"] = round(float(jnp.mean(
             (hs.inst == ho.inst).astype(jnp.float32))), 5)
+        # the reference's literal gate: aggregate hit-t checksum within
+        # 1% (tiny_bvh_speedtest.cpp:348-366 sums t over hits)
+        s_ours = jnp.sum(jnp.where(hs.prim >= 0, hs.t, 0.0))
+        s_ref = jnp.sum(jnp.where(ho.prim >= 0, ho.t, 0.0))
+        out["oracle_t_checksum_ratio"] = round(
+            float(s_ours / jnp.maximum(s_ref, 1e-9)), 5)
         _emit(out)
     t = _amortized(packet_trace, n=4)
     out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
     _emit(out)
 
-    if with_wavefront:
+    if with_wavefront and _time_left() > 75:
         def wf_trace():
             hh, _ = intersect_tlas_wavefront(tp.tlas, rays, far_dev,
                                              cap_factor=6)
@@ -512,7 +543,9 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
         try:
             hw = wf_trace()
             jax.block_until_ready(hw.t)
-            t = _amortized(wf_trace, n=4)
+            # the capped wavefront runs seconds/call: 2x2 windows suffice
+            # for a comparison row
+            t = _amortized(wf_trace, n=2, windows=2)
             out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
             out["packet_vs_wavefront"] = round(
                 out["tlas_packet_mrays"] / out["tlas_wavefront_mrays"], 2)
@@ -543,6 +576,11 @@ def _sub_section(section):
     Each section runs in its own subprocess: after a queued-dispatch
     phase the tunnel backend rejects further H2D transfers, so the next
     scene's upload would fail in the same process."""
+    global _SECTION_DEADLINE
+
+    budget = float(os.environ.get("BENCH_SECTION_BUDGET", "0"))
+    if budget > 0:
+        _SECTION_DEADLINE = time.perf_counter() + budget
     _setup_cache()
     import jax
 
@@ -697,10 +735,14 @@ def _sub_section(section):
             return hh
 
         try:
+            if _time_left() < 60:
+                raise _SkipPhase()
             hw = wf_trace()
             jax.block_until_ready(hw.t)
-            t = _amortized(wf_trace, n=4)
+            t = _amortized(wf_trace, n=2, windows=2)
             out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
+        except _SkipPhase:
+            out["wavefront_skipped"] = "deadline"
         except Exception as e:  # pragma: no cover - device-dependent
             out["wavefront_error"] = repr(e)[:160]
     else:
@@ -772,9 +814,14 @@ def main():
         budget = min(max_budget, remaining - 10)
         stdout = ""
         try:
+            # the subprocess SELF-limits to `budget` (graceful phase
+            # skipping); the hard kill is a backstop 45 s later — killing
+            # a section mid-dispatch poisons the tunnel for its successor
+            env = dict(os.environ, BENCH_SECTION_BUDGET=str(int(budget)))
             r = subprocess.run(
                 [sys.executable, me, "--sub", section],
-                capture_output=True, text=True, timeout=budget)
+                capture_output=True, text=True, timeout=budget + 45,
+                env=env)
             stdout = r.stdout
         except subprocess.TimeoutExpired as e:  # partial results still count
             stdout = (e.stdout or b"")
