@@ -570,15 +570,22 @@ def _bunny_grid(bunny, nx, ny):
          for i in range(nx) for j in range(ny)])
 
 
-def _sub_section(section):
-    """Run ONE scene section in this process, streaming BENCH_SUB lines.
+def _sub_section(section, budget=None):
+    """Run ONE scene section, streaming BENCH_SUB lines; returns the
+    section's result dict.
 
-    Each section runs in its own subprocess: after a queued-dispatch
-    phase the tunnel backend rejects further H2D transfers, so the next
-    scene's upload would fail in the same process."""
+    Sections used to run in their own subprocess because a queued-
+    dispatch window made the tunnel backend reject the next H2D in the
+    same process (r3). That backend bug is gone (re-tested r4) — and the
+    subprocess design turned out to COST minutes: the next section's
+    first dispatch blocks on the dead process's device-session teardown
+    (measured 100-200 s after a heavy section, worse after a kill). The
+    default is now ONE process for the whole bench (BENCH_SUBPROC=1
+    restores the old isolation)."""
     global _SECTION_DEADLINE
 
-    budget = float(os.environ.get("BENCH_SECTION_BUDGET", "0"))
+    if budget is None:
+        budget = float(os.environ.get("BENCH_SECTION_BUDGET", "0"))
     if budget > 0:
         _SECTION_DEADLINE = time.perf_counter() + budget
     _setup_cache()
@@ -748,6 +755,16 @@ def _sub_section(section):
     else:
         out = {"error": f"unknown section {section}"}
     _emit(out)
+    # settle: let queued result-buffer deallocations drain before the
+    # next section's uploads contend with them
+    try:
+        import jax.numpy as _jnp
+
+        jax.block_until_ready(_jnp.zeros(8) + 1.0)
+    except Exception:
+        pass
+    time.sleep(2.0)
+    return out
 
 
 def _headline(detail):
@@ -804,6 +821,7 @@ def main():
     # compiles land in .jax_cache; the driver's run uses the 1x plan
     scale = float(os.environ.get("BENCH_SECTION_SCALE", "1"))
     plan = [(s, b * scale, m) for s, b, m in plan]
+    subproc = os.environ.get("BENCH_SUBPROC") == "1"
     for section, max_budget, min_need in plan:
         if section not in only:
             continue
@@ -812,6 +830,17 @@ def main():
             detail[section + "_skipped"] = f"budget ({int(remaining)}s left)"
             continue
         budget = min(max_budget, remaining - 10)
+        if not subproc:
+            # single process: no per-section device-session teardown
+            # stalls; sections self-limit via the deadline checks and a
+            # failure in one section must not void the rest
+            try:
+                detail[section] = _sub_section(section, budget=budget)
+            except Exception as e:  # pragma: no cover
+                detail[section + "_error"] = repr(e)[:300]
+            detail["elapsed_s"] = int(time.time() - t_start)
+            print(json.dumps(_headline(detail)), flush=True)
+            continue
         stdout = ""
         try:
             # the subprocess SELF-limits to `budget` (graceful phase
