@@ -99,7 +99,7 @@ def main():
     @jax.jit
     def cull_only(rays):
         (posn, negn, thresh, olo, ohi, tcap, dlen,
-         tmax_rt) = p2._tile_frusta(aux, rays, 1e30)
+         tmax_rt, t0) = p2._tile_frusta(aux, rays, 1e30)
         leaf_bits = max(p2._LEAF_BITS,
                         (aux.leaf_lo.shape[1] - 1).bit_length())
         keys, counts = p2.cull_tiles(aux, posn, negn, thresh, olo, ohi,

@@ -95,22 +95,29 @@ def main():
     lbg = jnp.where(blk_live, gate, jnp.inf).reshape(T, 1, nbk)
     n_live_blk = jnp.sum(blk_live, axis=1)
     cnt_k = jnp.where(jnp.minimum(counts, Kk) > 0, n_live_blk * kpb, 0)
+    max_seg = aux.gtab_pad.shape[0] // p2.SEG_ROWS - 1
+    _, segs = p2._decode_keys(keys_s)
+    offs = jnp.where(live2, jnp.minimum(segs, max_seg),
+                     max_seg).astype(jnp.int32) * p2.SEG_ROWS
     o_c = jnp.transpose(o_t - aux.center, (0, 2, 1))
     d_tt = jnp.transpose(d_t, (0, 2, 1))
     tmax = jnp.full((T, 1), 1e30, jnp.float32)
-    jax.block_until_ready((keys_s, cnt_k, lbg, o_c, d_tt, tmax))
+    jax.block_until_ready((offs, cnt_k, lbg, o_c, d_tt, tmax))
 
     def mt():
-        return p2.mt_resolve_fused(keys_s, cnt_k, lbg, tmax, o_c, d_tt,
+        return p2.mt_resolve_fused(offs, cnt_k, lbg, tmax, o_c, d_tt,
                                    aux.gtab_pad, k_cap=Kk,
                                    tri_blk=kpb * p2.SEG_ROWS)
 
-    def full():
-        return p2.intersect_packets2(bvh.bvh8, aux, rays, max_leaves=K,
-                                     t_max=far, max_blocks=MB,
-                                     retrace=False)
+    def full(tb=256, tps=8):
+        def f():
+            return p2.intersect_packets2(bvh.bvh8, aux, rays, max_leaves=K,
+                                         t_max=far, max_blocks=MB,
+                                         retrace=False, tri_blk=tb,
+                                         tiles_per_step=tps)
+        return f
 
-    t_full = _amortize(full)
+    t_full = _amortize(full())
     t_cull = _amortize(cull)
     t_mt = _amortize(mt)
     print(f"full  {t_full*1e3:7.2f} ms  ({R/t_full/1e6:.1f} MRays/s)",
@@ -119,6 +126,10 @@ def main():
     print(f"mt    {t_mt*1e3:7.2f} ms  ({t_mt/T*1e6:.2f} us/tile)",
           flush=True)
     print(f"glue  {(t_full-t_cull-t_mt)*1e3:7.2f} ms (residual)", flush=True)
+    for tb, tps in ((512, 8), (256, 16), (512, 16), (128, 8)):
+        t = _amortize(full(tb, tps))
+        print(f"full tb={tb} tps={tps}  {t*1e3:7.2f} ms  "
+              f"({R/t/1e6:.1f} MRays/s)", flush=True)
 
 
 if __name__ == "__main__":

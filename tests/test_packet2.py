@@ -246,19 +246,22 @@ def test_primary_vpu_variant_matches(scene):
 
 def test_fused_kernel_dead_keys_within_count(scene):
     """Worklist-overflow tiles report count=k_cap+1 with fewer live keys;
-    dead (I32MAX) entries inside [0, count) must not be DMA'd (out-of-
-    bounds descriptors kill the TPU worker) and must produce no hits."""
+    dead entries inside [0, count) are pre-decoded by the wrapper to the
+    sentinel segment's row offset (so DMAs stay in bounds — OOB
+    descriptors kill the TPU worker) and must produce no hits."""
     import jax.numpy as jnp
-    from tinybvh_tpu.traverse.packet2 import TILE, mt_resolve_fused
-
-    from tinybvh_tpu.traverse.packet2 import _KPB
+    from tinybvh_tpu.traverse.packet2 import (
+        _KPB, SEG_ROWS, TILE, mt_resolve_fused,
+    )
 
     tris, bvh8, aux = scene
     K = 64
     T = 2
-    # tile 0: one live key (segment 0) then dead entries, count beyond it
-    keys = np.full((T, K), _I32MAX, np.int32)
-    keys[0, 0] = 0  # segment 0, lb bits zero
+    # tile 0: one live offset (segment 0) then sentinel (dead) entries,
+    # count beyond the live prefix
+    sent = int(aux.gtab_pad.shape[0]) - SEG_ROWS
+    offs = np.full((T, K), sent, np.int32)
+    offs[0, 0] = 0  # segment 0
     counts = np.array([K, 0], np.int32)  # count beyond the live prefix
     lbg = np.zeros((T, 1, K // _KPB), np.float32)
     tmax = np.full((T, 1), 1e30, np.float32)
@@ -267,7 +270,7 @@ def test_fused_kernel_dead_keys_within_count(scene):
     d_t = np.zeros((T, 3, TILE), np.float32)
     d_t[:, 2, :] = 1.0
     t, i, _, _, _ = mt_resolve_fused(
-        jnp.asarray(keys), jnp.asarray(counts), jnp.asarray(lbg),
+        jnp.asarray(offs), jnp.asarray(counts), jnp.asarray(lbg),
         jnp.asarray(tmax), jnp.asarray(o_t) - np.asarray(aux.center)[:, None]
         + np.asarray(aux.center)[:, None], jnp.asarray(d_t),
         aux.gtab_pad, k_cap=K, interpret=True)

@@ -33,7 +33,7 @@ from flax import struct
 
 from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
 from tinybvh_tpu.core.rays import Hits, Rays
-from tinybvh_tpu.core.vecmath import BVH_FAR, mat4_inverse, transform_aabb
+from tinybvh_tpu.core.vecmath import BVH_FAR
 from tinybvh_tpu.layouts.mbvh import BVH8, EMPTY_SLOT
 
 # two-level descent pushes at most one node per level per BVH; 130 covers
@@ -202,7 +202,11 @@ def build_tlas(blases, transforms, masks=None, builder=None,
         np.where(c >= 0, c + n_tlas, c) for c in child_list
     ]) if child_list else tlas_child
 
-    inv = np.asarray(mat4_inverse(jnp.asarray(mats)))
+    # HOST inverse (f64 for conditioning): the previous device
+    # mat4_inverse + np.asarray readback paid an eager-op remote compile
+    # plus a D2H transfer through the tunnel backend — measured 390 s of
+    # an 8-instance TLAS build, i.e. the entire build cost
+    inv = np.linalg.inv(mats.astype(np.float64)).astype(np.float32)
 
     return TLAS8(
         bounds=jnp.asarray(merged_bounds, jnp.float32),

@@ -67,9 +67,13 @@ TRI_BLK = 128            # triangles per K2 matmul block (= 8 segments)
 # shrinks the cull's entity count, block count and butterfly-compaction
 # width 4x, and replaces 32 per-leaf DMAs per MT super-block with 8
 # segment DMAs (the r3 ablation probe's seg variants run at bigdma
-# speed). The cost is ~2.4x more MT matmul rows, which the same probe
-# measured at ~1 us per super-block — far below the scalar work saved.
-SPAN = 4                 # leaves per cull segment
+# speed). The extra MT matmul rows cost ~1 us per super-block — far
+# below the scalar work saved. span=8 (r4) doubles down: the r4 split
+# probe showed the fused MT kernel is DMA-ISSUE-bound (the scalar
+# SMEM-load -> descriptor -> start chain per segment, not bytes: the
+# walk streams at ~54 GB/s against ~800 available), so halving the
+# per-triangle descriptor count is worth another ~2.4x row overhead.
+SPAN = 8                 # leaves per cull segment
 SEG_ROWS = 4 * SPAN      # gtab rows (tris) per segment
 _KPB = TRI_BLK // SEG_ROWS   # keys (segments) per MT super-block
 
@@ -750,15 +754,14 @@ def mt_resolve(o_t, d_t, geom, lbg, tmax, interpret: bool = False):
 # K2f: fused gather + MT (manual HBM->VMEM leaf DMAs)
 # --------------------------------------------------------------------------
 
-def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
+def _mt_fused_kernel(offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
                      gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                      sem_ref, *, k_cap, omap_s=0,
                      prec=lax.Precision.HIGHEST,
-                     any_hit=False, leaf_bits=_LEAF_BITS,
-                     tri_blk=TRI_BLK):
-    """Fused gather+MT: per tile, walk the compacted cull key list (SMEM),
-    DMA each live leaf's (4, 48) G-row block straight from HBM into a
-    double-buffered (128, 48) VMEM super-block, and run the triple-product
+                     any_hit=False, tri_blk=TRI_BLK):
+    """Fused gather+MT: per tile, walk the compacted cull list (SMEM),
+    DMA each live segment's (SEG_ROWS, 128) G-row block straight from HBM
+    into a double-buffered VMEM super-block, and run the triple-product
     MT matmuls on it — no XLA gather materializing a (T, K*4, 48) tensor
     (measured 36 ms on bunny: 48-float rows waste 15/16 of each (8, 128)
     gather granule). Early exit: the NEXT super-block is only DMA'd if its
@@ -771,33 +774,40 @@ def _mt_fused_kernel(keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
     fixed step cost over TBM tiles is the single biggest lever on the
     packet hot path.
 
-    keys_ref (TBM,1,k_cap) i32 SMEM; cnt_ref (TBM,1,1) SMEM; lbg_ref
-    (TBM,1,nb) f32 SMEM per-super-block gates; tmax_ref (TBM,1,1) f32
-    SMEM; f_ref (TBM,12,256) VMEM precomputed per-ray feature rows
-    [d, o x d, o, 1, 0, 0] (built by fused XLA in the wrapper: in-kernel
-    cross products + concat were ~1 us/tile of Mosaic relayouts);
-    gtab_ref (4L+pad, 128) f32 in HBM (ANY); buf_ref (2*128, 128) VMEM
-    scratch; sem_ref (2, 32) DMA semaphores."""
+    offs_ref (TBM,1,k_cap) i32 SMEM: PRE-DECODED gtab row offsets
+    (segment*SEG_ROWS, clamped; dead keys point at the all-zero sentinel
+    segment) — decoding keys in-kernel cost a load+and+min+mul scalar
+    chain per DMA issue, and the issue loop is the kernel's dominant
+    term (r4 split probe), so the wrapper now decodes all keys in one
+    vector op. cnt_ref (TBM,1,1) SMEM; lbg_ref (TBM,1,nb) f32 SMEM
+    per-super-block gates; tmax_ref (TBM,1,1) f32 SMEM; f_ref
+    (TBM,12,256) VMEM precomputed per-ray feature rows [d, o x d, o, 1,
+    0, 0] (built by fused XLA in the wrapper: in-kernel cross products +
+    concat were ~1 us/tile of Mosaic relayouts); t0_ref (TBM,1,256) VMEM
+    per-ray INITIAL t bounds — min(t_max, scene-box exit t): a miss ray
+    otherwise pins the tile's t_far at BVH_FAR forever and disables the
+    gate early-exit for every mixed hit/miss tile (bunny primary hit
+    rate is 0.35 — most tiles swept their full cull list);
+    gtab_ref (4L+pad, 128)
+    f32 in HBM (ANY); buf_ref (2*tri_blk, 128) VMEM scratch; sem_ref (2,)
+    DMA semaphores."""
     nb = lbg_ref.shape[2]
-    tbm = keys_ref.shape[0]
-    # last SEG_ROWS rows of gtab are the all-zero sentinel segment
-    max_seg_row_g = gtab_ref.shape[0] // SEG_ROWS - 1
+    tbm = offs_ref.shape[0]
 
     def tile_body(ti, _):
-        _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
-                       gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref,
+        _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
+                       t0_ref, gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref,
                        buf_ref, sem_ref, k_cap=k_cap, omap_s=omap_s,
-                       prec=prec, any_hit=any_hit, leaf_bits=leaf_bits,
-                       max_seg_row=max_seg_row_g, nb=nb, tri_blk=tri_blk)
+                       prec=prec, any_hit=any_hit, nb=nb, tri_blk=tri_blk)
         return 0
 
     lax.fori_loop(0, tbm, tile_body, 0)
 
 
-def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
+def _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
                    gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
-                   sem_ref, *, k_cap, omap_s, prec, any_hit, leaf_bits,
-                   max_seg_row, nb, tri_blk=TRI_BLK):
+                   sem_ref, *, k_cap, omap_s, prec, any_hit,
+                   nb, tri_blk=TRI_BLK):
     kpb = tri_blk // SEG_ROWS        # keys (segments) per super-block
     count = jnp.minimum(cnt_ref[ti, 0, 0], k_cap)
     nsb = (count + kpb - 1) // kpb
@@ -809,22 +819,21 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
 
     # BRANCH-FREE DMA loops: every slot of every walked super-block is
     # DMA'd unconditionally; dead keys (I32MAX inside an overflow group's
-    # [0, count), or the padding tail of the last block) clamp to the
-    # all-zero SENTINEL leaf row at max_leaf_row (det = 0 -> never hits,
-    # and the `live` mask re-guards the tail anyway). The previous
-    # per-slot live/dead branching tripled the scalar-loop work that
-    # dominates this kernel (r3 probe: per-tile cost ~5.8 us against
-    # ~0.2 us of matmul flops — batching tiles per grid step changed
-    # nothing, so the cost is the per-tile scalar body itself). Clamping
-    # also keeps out-of-bounds descriptors away from the DMA engine
-    # (an OOB descriptor kills the TPU worker).
+    # [0, count), or the padding tail of the last block) were pre-decoded
+    # by the wrapper to the all-zero SENTINEL segment's row offset
+    # (det = 0 -> never hits, and the `live` mask re-guards the tail
+    # anyway). The previous per-slot live/dead branching tripled the
+    # scalar-loop work that dominates this kernel (r3 probe: per-tile
+    # cost ~5.8 us against ~0.2 us of matmul flops — batching tiles per
+    # grid step changed nothing, so the cost is the per-tile scalar body
+    # itself). Pre-decoded offsets are always in bounds, which keeps OOB
+    # descriptors away from the DMA engine (an OOB descriptor kills the
+    # TPU worker).
 
     def seg_dma(sb, i, slot):
-        ki = sb * kpb + i
-        seg = jnp.minimum(keys_ref[ti, 0, ki] & ((1 << leaf_bits) - 1),
-                          max_seg_row)
+        row = pl.multiple_of(offs_ref[ti, 0, sb * kpb + i], SEG_ROWS)
         return pltpu.make_async_copy(
-            gtab_ref.at[pl.ds(seg * SEG_ROWS, SEG_ROWS), :],
+            gtab_ref.at[pl.ds(row, SEG_ROWS), :],
             buf_ref.at[pl.ds(slot * tri_blk + i * SEG_ROWS, SEG_ROWS), :],
             sem_ref.at[slot],
         )
@@ -956,8 +965,11 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
         best_p = jnp.where(better, p_blk, state[6])
         return sb + 1, nxt, best_t, best_i, best_u, best_v, best_p
 
+    # per-ray initial bound min(t_max, scene exit): misses settle at their
+    # exit t (prim stays -1), so t_far reflects real geometry and the gate
+    # early-exit fires even for tiles with sky rays
     init = (jnp.int32(0), nsb > 0,
-            jnp.zeros((1, TILE), jnp.float32) + tmax,
+            t0_ref[pl.ds(ti, 1)][0],
             jnp.zeros((1, TILE), jnp.int32),
             jnp.zeros((1, TILE), jnp.float32),
             jnp.zeros((1, TILE), jnp.float32),
@@ -972,16 +984,23 @@ def _mt_fused_tile(ti, keys_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
-                                   "mt_precision", "any_hit", "leaf_bits",
+                                   "mt_precision", "any_hit",
                                    "tiles_per_step", "tri_blk"))
-def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
+def mt_resolve_fused(offs, counts, lbg, tmax, o_t, d_t, gtab_flat,
                      k_cap: int, interpret: bool = False, omap_s: int = 0,
                      mt_precision: str = "highest", any_hit: bool = False,
-                     leaf_bits: int = _LEAF_BITS, tiles_per_step: int = 8,
-                     tri_blk: int = TRI_BLK):
-    """keys (T, k_cap) i32 cull output; counts (T,) i32; lbg (T, 1, nb)
+                     tiles_per_step: int = 8,
+                     tri_blk: int = TRI_BLK, t0=None):
+    """offs (T, k_cap) i32 PRE-DECODED gtab row offsets (segment *
+    SEG_ROWS, clamped in bounds; dead keys -> the sentinel segment's
+    offset); counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
-    (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded.
+    (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded;
+    t0 optional (T, 256) f32 per-ray INITIAL t bounds (defaults to the
+    broadcast tile tmax) — pass min(t_max, scene-box exit t) so miss rays
+    don't pin the gate early-exit's t_far at BVH_FAR (misses then settle
+    at their exit t with prim = -1; callers must treat prim < 0 as the
+    miss signal, not t >= BVH_FAR).
     -> (t (T, 256), idx (T, 256), u (T, 256), v (T, 256), prim (T, 256))
     with idx = super_block*tri_blk + row into the walked triangle rows
     (segment-granularity: key ki covers rows [ki*SEG_ROWS, (ki+1)*SEG_ROWS));
@@ -990,13 +1009,16 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
 
     tiles_per_step: tiles walked per grid step (fixed grid-step cost is
     the kernel's dominant term — see _mt_fused_kernel)."""
-    T = keys.shape[0]
+    T = offs.shape[0]
     nb = lbg.shape[2]
+    sentinel = gtab_flat.shape[0] - SEG_ROWS
+    if t0 is None:
+        t0 = jnp.broadcast_to(tmax.reshape(T, 1), (T, TILE))
     tbm = max(1, min(tiles_per_step, T))
     if T % tbm:
         padt = tbm - T % tbm
-        keys = jnp.concatenate(
-            [keys, jnp.full((padt, k_cap), _I32MAX, keys.dtype)], axis=0)
+        offs = jnp.concatenate(
+            [offs, jnp.full((padt, k_cap), sentinel, offs.dtype)], axis=0)
         counts = jnp.concatenate(
             [counts, jnp.zeros((padt,), counts.dtype)], axis=0)
         lbg = jnp.concatenate(
@@ -1007,7 +1029,9 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
             [o_t, jnp.zeros((padt, 3, TILE), o_t.dtype)], axis=0)
         d_t = jnp.concatenate(
             [d_t, jnp.zeros((padt, 3, TILE), d_t.dtype)], axis=0)
-    tp = keys.shape[0]
+        t0 = jnp.concatenate(
+            [t0, jnp.zeros((padt, TILE), t0.dtype)], axis=0)
+    tp = offs.shape[0]
     # per-ray feature rows f = [d, o x d, o, 1, 0, 0] built here as fused
     # XLA: building them in-kernel cost ~1 us/tile of Mosaic relayouts
     ff = jnp.concatenate([
@@ -1019,7 +1043,7 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
     t_out, i_out, u_out, v_out, p_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
-                any_hit=any_hit, leaf_bits=leaf_bits, tri_blk=tri_blk),
+                any_hit=any_hit, tri_blk=tri_blk),
         grid=(tp // tbm,),
         in_specs=[
             pl.BlockSpec((tbm, 1, k_cap), lambda i: (i, 0, 0),
@@ -1031,6 +1055,8 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
             pl.BlockSpec((tbm, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tbm, 12, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbm, 1, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -1046,13 +1072,14 @@ def mt_resolve_fused(keys, counts, lbg, tmax, o_t, d_t, gtab_flat,
                          memory_space=pltpu.VMEM) for _ in range(5)),
         scratch_shapes=[
             pltpu.VMEM((2 * tri_blk, 128), jnp.float32),
-            # one byte-counting semaphore per buffer slot (all _KPB segment
-            # copies of a slot signal it; drain waits once for the sum)
+            # one byte-counting semaphore per buffer slot (all kpb =
+            # tri_blk/SEG_ROWS segment copies of a slot signal it; drain
+            # waits once for the sum)
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(keys.reshape(tp, 1, k_cap), counts.reshape(tp, 1, 1), lbg,
-      tmax.reshape(tp, 1, 1), ff, gtab_flat)
+    )(offs.reshape(tp, 1, k_cap), counts.reshape(tp, 1, 1), lbg,
+      tmax.reshape(tp, 1, 1), ff, t0.reshape(tp, 1, TILE), gtab_flat)
     return (t_out.reshape(tp, TILE)[:T], i_out.reshape(tp, TILE)[:T],
             u_out.reshape(tp, TILE)[:T], v_out.reshape(tp, TILE)[:T],
             p_out.reshape(tp, TILE)[:T])
@@ -1071,7 +1098,9 @@ def _tile_frusta(aux: PacketAux, rays: Rays, t_max):
     reach cap collapses, so their cull lists come back empty and the MT
     stage skips them — a dead tile costs only the fixed grid-step time).
 
-    Returns (posn, negn, thresh, olo, ohi, tcap, dlen, tmax_rt)."""
+    Returns (posn, negn, thresh, olo, ohi, tcap, dlen, tmax_rt, t0) —
+    t0 (T, TILE) is the per-ray initial MT bound min(t_max, scene-box
+    exit t) with a small conservative margin (see mt_resolve_fused)."""
     R = rays.o.shape[0]
     T = R // TILE
     o = rays.o.reshape(T, TILE, 3)
@@ -1102,7 +1131,12 @@ def _tile_frusta(aux: PacketAux, rays: Rays, t_max):
     reach = jnp.minimum(tmax_rt, t_exit) * dlen
     tcap = jnp.max(reach, axis=1)                         # (T,)
     tcap = jnp.where(jnp.isfinite(tcap), tcap * 1.001 + 1e-4, BVH_FAR)
-    return posn, negn, thresh, olo, ohi, tcap, dlen, tmax_rt
+    # per-ray initial MT bound: a hit can't lie beyond the ray's own
+    # scene-box exit, so misses settle at the exit t instead of pinning
+    # t_far at BVH_FAR (the margin keeps boundary-grazing hits strictly
+    # below the init)
+    t0 = jnp.minimum(tmax_rt, t_exit * 1.0005 + 1e-4)
+    return posn, negn, thresh, olo, ohi, tcap, dlen, tmax_rt, t0
 
 
 def _decode_keys(keys, leaf_bits=_LEAF_BITS):
@@ -1171,7 +1205,7 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     o = rays.o.reshape(T, TILE, 3)
     d = rays.d.reshape(T, TILE, 3)
     (posn, negn, thresh, olo, ohi, tcap, dlen,
-     tmax_rt) = _tile_frusta(aux, rays, t_max)
+     tmax_rt, t0_rt) = _tile_frusta(aux, rays, t_max)
 
     # segment ids must fit the key low bits: scenes beyond 2^18 segment
     # rows (>4M tris) trade distance-ordering granularity for id range
@@ -1251,19 +1285,30 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         # the inf-gated dead tail is skipped by the gate early-exit
         n_live_blk = jnp.sum(blk_live, axis=1)
         cnt_k = jnp.where(jnp.minimum(counts, Kk) > 0, n_live_blk * kpb, 0)
+        # pre-decode every key to its clamped gtab row offset (dead keys
+        # -> the all-zero sentinel segment): the kernel's DMA-issue loop
+        # is its dominant term (r4 split probe), so the per-issue scalar
+        # chain shrinks to one SMEM load + descriptor start
+        max_seg = aux.gtab_pad.shape[0] // SEG_ROWS - 1
+        offs = jnp.where(live, jnp.minimum(lrow, max_seg),
+                         max_seg).astype(jnp.int32) * SEG_ROWS
+        # any-hit keeps the scalar cutoff init: its early stop compares
+        # t_far against the cutoff, and an exit-capped init below the
+        # cutoff could end the walk before any geometry is tested
         best_t, _, ku, kv, kp = mt_resolve_fused(
-            keys_s, cnt_k, lbg, tmax.reshape(T, 1),
+            offs, cnt_k, lbg, tmax.reshape(T, 1),
             o_c, d_t, aux.gtab_pad, k_cap=Kk,
             interpret=interpret, omap_s=aux.omap_s,
             mt_precision=mt_precision, any_hit=any_hit,
-            leaf_bits=leaf_bits, tri_blk=tb_eff,
-            tiles_per_step=tiles_per_step)
+            tri_blk=tb_eff,
+            tiles_per_step=tiles_per_step,
+            t0=None if any_hit else t0_rt)
         # prim/u/v all recovered in-kernel: no (R,)-element XLA gathers
         # (each cost milliseconds: random row gathers waste 15/16 of
-        # every (8, 128) granule)
-        best_t = jnp.where(best_t < tmax_r.reshape(T, TILE), best_t,
-                           BVH_FAR)
-        okf = (best_t < BVH_FAR).reshape(-1)
+        # every (8, 128) granule). Misses settle at their exit-t init
+        # with prim = -1, so prim — not t — is the miss signal here.
+        okf = ((kp >= 0)
+               & (best_t < tmax_r.reshape(T, TILE))).reshape(-1)
         hits = Hits(
             t=jnp.where(okf, best_t.reshape(-1), BVH_FAR),
             u=jnp.where(okf, ku.reshape(-1), 0.0),
