@@ -68,12 +68,12 @@ TRI_BLK = 128            # triangles per K2 matmul block (= 8 segments)
 # width 4x, and replaces 32 per-leaf DMAs per MT super-block with 8
 # segment DMAs (the r3 ablation probe's seg variants run at bigdma
 # speed). The extra MT matmul rows cost ~1 us per super-block — far
-# below the scalar work saved. span=8 (r4) doubles down: the r4 split
-# probe showed the fused MT kernel is DMA-ISSUE-bound (the scalar
-# SMEM-load -> descriptor -> start chain per segment, not bytes: the
-# walk streams at ~54 GB/s against ~800 available), so halving the
-# per-triangle descriptor count is worth another ~2.4x row overhead.
-SPAN = 8                 # leaves per cull segment
+# below the scalar work saved. span=8 was MEASURED WORSE (r4 split
+# probe, bench config): survivors only drop 17 -> 13.8 (not 2x) while
+# every surviving block walks 2x the rows, so MT went 8.8 -> 10.8 ms
+# and cull 3.9 -> 4.5 ms. The DMA-issue chain is better attacked by
+# the pre-decoded offsets (below) at span=4 granularity.
+SPAN = 4                 # leaves per cull segment
 SEG_ROWS = 4 * SPAN      # gtab rows (tris) per segment
 _KPB = TRI_BLK // SEG_ROWS   # keys (segments) per MT super-block
 
