@@ -65,7 +65,8 @@ def main():
     jax.block_until_ready((posn, negn, thresh))
 
     Kk = K // p2.SPAN
-    kpb = 256 // p2.SEG_ROWS
+    rps = p2.SEG_ROWS // aux.pack
+    kpb = 256 // rps
 
     def cull():
         return p2.cull_tiles(aux, posn, negn, thresh, olo, ohi,
@@ -95,10 +96,10 @@ def main():
     lbg = jnp.where(blk_live, gate, jnp.inf).reshape(T, 1, nbk)
     n_live_blk = jnp.sum(blk_live, axis=1)
     cnt_k = jnp.where(jnp.minimum(counts, Kk) > 0, n_live_blk * kpb, 0)
-    max_seg = aux.gtab_pad.shape[0] // p2.SEG_ROWS - 1
+    max_seg = aux.gtab_pad.shape[0] // rps - 1
     _, segs = p2._decode_keys(keys_s)
     offs = jnp.where(live2, jnp.minimum(segs, max_seg),
-                     max_seg).astype(jnp.int32) * p2.SEG_ROWS
+                     max_seg).astype(jnp.int32) * rps
     o_c = jnp.transpose(o_t - aux.center, (0, 2, 1))
     d_tt = jnp.transpose(d_t, (0, 2, 1))
     tmax = jnp.full((T, 1), 1e30, jnp.float32)
@@ -107,7 +108,7 @@ def main():
     def mt():
         return p2.mt_resolve_fused(offs, cnt_k, lbg, tmax, o_c, d_tt,
                                    aux.gtab_pad, k_cap=Kk,
-                                   tri_blk=kpb * p2.SEG_ROWS)
+                                   tri_blk=kpb * rps, pack=aux.pack)
 
     def full(tb=256, tps=8):
         def f():

@@ -130,8 +130,11 @@ def test_packet_aux_host_matches_jitted():
     # compare value lanes numerically, payload lanes bitwise
     x = np.asarray(ah.gtab_pad)
     y = np.asarray(ad.gtab_pad)
-    np.testing.assert_allclose(x[:, :48], y[:, :48], rtol=1e-6, atol=1e-6)
-    assert (x[:, 48:].view(np.int32) == y[:, 48:].view(np.int32)).all()
+    assert ah.pack == ad.pack
+    nfeat = 48 * ah.pack
+    np.testing.assert_allclose(x[:, :nfeat], y[:, :nfeat],
+                               rtol=1e-6, atol=1e-6)
+    assert (x[:, nfeat:].view(np.int32) == y[:, nfeat:].view(np.int32)).all()
 
 
 def test_tlas_host8s_matches_device_merge():

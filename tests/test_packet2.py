@@ -52,7 +52,11 @@ def test_g_rows_match_moller_trumbore(scene):
     # near-degenerate sample would make this flaky in full-suite runs
     rng = np.random.default_rng(7)
     tris, bvh8, aux = scene
-    g = np.asarray(aux.gtab_pad[:4 * aux.n_leaves, :48])
+    if aux.pack == 2:
+        # packed rows: lanes [0:96] reshape back to per-tri 48-lane rows
+        g = np.asarray(aux.gtab_pad[:2 * aux.n_leaves, :96]).reshape(-1, 48)
+    else:
+        g = np.asarray(aux.gtab_pad[:4 * aux.n_leaves, :48])
     lt = np.asarray(bvh8.leaf_tris).reshape(-1, 3, 3)
     lp = np.asarray(bvh8.leaf_prim).reshape(-1)
     c0 = np.asarray(aux.center)
@@ -259,7 +263,7 @@ def test_fused_kernel_dead_keys_within_count(scene):
     T = 2
     # tile 0: one live offset (segment 0) then sentinel (dead) entries,
     # count beyond the live prefix
-    sent = int(aux.gtab_pad.shape[0]) - SEG_ROWS
+    sent = int(aux.gtab_pad.shape[0]) - SEG_ROWS // aux.pack
     offs = np.full((T, K), sent, np.int32)
     offs[0, 0] = 0  # segment 0
     counts = np.array([K, 0], np.int32)  # count beyond the live prefix
@@ -273,7 +277,7 @@ def test_fused_kernel_dead_keys_within_count(scene):
         jnp.asarray(offs), jnp.asarray(counts), jnp.asarray(lbg),
         jnp.asarray(tmax), jnp.asarray(o_t) - np.asarray(aux.center)[:, None]
         + np.asarray(aux.center)[:, None], jnp.asarray(d_t),
-        aux.gtab_pad, k_cap=K, interpret=True)
+        aux.gtab_pad, k_cap=K, interpret=True, pack=aux.pack)
     t = np.asarray(t)
     # tile 1 (count 0) must be all misses; tile 0 only hits leaf-0 tris
     assert (t[1] >= 1e29).all()

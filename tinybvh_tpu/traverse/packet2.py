@@ -110,6 +110,19 @@ class PacketAux:
     omap_s: int = struct.field(pytree_node=False, default=0)
     # leaf-row count L (static: gtab_pad's row count bakes in padding)
     n_leaf_rows: int = struct.field(pytree_node=False, default=0)
+    # triangles per gtab row. pack=2 stores tri pairs per 128-lane row
+    # ([A feats 0:48 | B feats 48:96 | pidA 96 | pidB 97 | omap words A
+    # then B from 98]): half the DMA descriptors/bytes AND half the MT
+    # super-blocks per segment — the fused kernel is fixed-cost-bound
+    # per super-block (r4 split probe), so fewer blocks is the lever.
+    # Requires omap_s <= 15 (2 tris' bit words + 2 pid lanes must fit
+    # the 32 padding lanes); build_packet_aux falls back to pack=1.
+    pack: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def rows_per_seg(self):
+        """gtab rows per cull segment (SEG_ROWS tris / pack)."""
+        return SEG_ROWS // self.pack
 
     @property
     def n_leaves(self):
@@ -125,12 +138,16 @@ class PacketAux:
         return self.leaf_lo.shape[1] // LANES
 
 
-@jax.jit
-def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
+@partial(jax.jit, static_argnames=("pack",))
+def build_packet_aux(bvh8: BVH8, omap=None, pack: int = 2) -> PacketAux:
     """Leaf AABBs + centered triple-product rows (one-time per BVH).
 
     omap: optional (L, 4, S, S) bool opacity micromaps (ops.omap.leaf_align)
-    — baked into the fused kernel's G-row padding lanes."""
+    — baked into the fused kernel's G-row padding lanes.
+    pack: tris per gtab row (see PacketAux.pack); falls back to 1 when
+    the omap bit words don't fit the packed padding lanes (S > 15)."""
+    if pack == 2 and omap is not None and omap.shape[-1] > 15:
+        pack = 1
     lt = bvh8.leaf_tris                      # (L, 4, 3, 3)
     valid = (bvh8.leaf_prim >= 0)[..., None, None]  # (L, 4, 1, 1)
     big = jnp.where(valid, lt, BVH_FAR)
@@ -194,26 +211,38 @@ def build_packet_aux(bvh8: BVH8, omap=None) -> PacketAux:
     # wrapper never does a (R,)-element XLA gather over leaf_prim
     pid = lax.bitcast_convert_type(
         bvh8.leaf_prim.reshape(4 * L, 1).astype(jnp.int32), jnp.float32)
-    gtab_pad = jnp.concatenate(
-        [gtab.reshape(-1, 48), ow, pid,
-         jnp.zeros((4 * L, 127 - 48 - ow.shape[1]), jnp.float32)], axis=1)
+    if pack == 2:
+        # tri-PAIR rows: [A feats 0:48 | B feats 48:96 | pidA | pidB |
+        # omap words A(nw) then B(nw)] — adjacent tris pair up via plain
+        # reshapes (row 2i -> lanes 0:48, row 2i+1 -> lanes 48:96)
+        gtab_pad = jnp.concatenate(
+            [gtab.reshape(2 * L, 96), pid.reshape(2 * L, 2),
+             ow.reshape(2 * L, 2 * ow.shape[1]),
+             jnp.zeros((2 * L, 30 - 2 * ow.shape[1]), jnp.float32)],
+            axis=1)
+    else:
+        gtab_pad = jnp.concatenate(
+            [gtab.reshape(-1, 48), ow, pid,
+             jnp.zeros((4 * L, 127 - 48 - ow.shape[1]), jnp.float32)],
+            axis=1)
     # zero rows for the last segment's padding leaves + one all-zero
     # sentinel SEGMENT at the end: dead cull keys DMA it unconditionally
     # (det = 0 -> never hits), which keeps the fused kernel's DMA loops
     # branch-free (scalar-loop cost dominates the MT kernel; see
     # _mt_fused_tile)
     lseg = -(-L // SPAN) * SPAN
-    tail = 4 * (lseg - L) + SEG_ROWS
+    tail = (4 * (lseg - L) + SEG_ROWS) // pack
     gtab_pad = jnp.concatenate(
         [gtab_pad, jnp.zeros((tail, gtab_pad.shape[1]), jnp.float32)],
         axis=0)
     return PacketAux(leaf_lo=lo_p.T, leaf_hi=hi_p.T,
                      blk_lo=blo.T, blk_hi=bhi.T,
                      gtab_pad=gtab_pad, center=center,
-                     omap=omap, omap_s=S, n_leaf_rows=L)
+                     omap=omap, omap_s=S, n_leaf_rows=L, pack=pack)
 
 
-def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
+def build_packet_aux_host(bvh8_host: dict, omap=None,
+                          pack: int = 2) -> PacketAux:
     """Numpy twin of build_packet_aux for the all-host build path.
 
     Through the tunnel backend every eager device op and every jitted
@@ -223,8 +252,12 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     the results once makes aux construction ~free.
 
     bvh8_host: dict from collapse_bvh2(..., as_host=True).
-    omap: optional (L, 4, S, S) bool numpy opacity micromaps."""
+    omap: optional (L, 4, S, S) bool numpy opacity micromaps.
+    pack: tris per gtab row (see PacketAux.pack)."""
     import numpy as np
+
+    if pack == 2 and omap is not None and np.asarray(omap).shape[-1] > 15:
+        pack = 1
 
     lt = np.asarray(bvh8_host["leaf_tris"], np.float32)   # (L, 4, 3, 3)
     lp = np.asarray(bvh8_host["leaf_prim"])
@@ -256,12 +289,18 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     # chain of (4L, 48/128) concatenates materialized ~1.2 GB three times
     # over on Mtri-scale scenes (measured 72 s of the grid16 aux build)
     lseg = -(-L // SPAN) * SPAN
-    rows = 4 * lseg + SEG_ROWS
+    rows = (4 * lseg + SEG_ROWS) // pack
     gtab_pad = np.zeros((rows, 128), np.float32)
 
     def put(col, arr3):
-        gtab_pad[:4 * L, col:col + 3] = np.where(
-            tri_ok, arr3.reshape(4 * L, 3), 0.0)
+        a = np.where(tri_ok, arr3.reshape(4 * L, 3), 0.0)
+        if pack == 2:
+            # tri-pair rows: even tri -> lanes [col, col+3), odd tri ->
+            # the B half at lanes [48+col, 48+col+3)
+            gtab_pad[:2 * L, col:col + 3] = a[0::2]
+            gtab_pad[:2 * L, 48 + col:48 + col + 3] = a[1::2]
+        else:
+            gtab_pad[:4 * L, col:col + 3] = a
 
     put(0, n)                      # G_det = [n, 0...]
     put(12, -np.cross(v0, e2))     # G_u = [-(v0 x e2), -e2, 0...]
@@ -269,7 +308,12 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
     put(24, np.cross(v0, e1))      # G_v = [(v0 x e1), e1, 0...]
     put(27, e1)
     put(42, -n)                    # G_t = [0,0,0 0,0,0 -n, n.v0, 0, 0]
-    gtab_pad[:4 * L, 45:46] = np.where(tri_ok, k.reshape(4 * L, 1), 0.0)
+    kk = np.where(tri_ok, k.reshape(4 * L, 1), 0.0)
+    if pack == 2:
+        gtab_pad[:2 * L, 45:46] = kk[0::2]
+        gtab_pad[:2 * L, 93:94] = kk[1::2]
+    else:
+        gtab_pad[:4 * L, 45:46] = kk
 
     nb = lpad // (LANES * SPAN)
     blo = lo_p.reshape(nb, LANES, 3).min(axis=1)
@@ -293,17 +337,26 @@ def build_packet_aux_host(bvh8_host: dict, omap=None) -> PacketAux:
             [bits, np.zeros((4 * L, pad_b), np.int32)], axis=1)
         w = np.sum(bits.reshape(4 * L, nw, 16)
                    << np.arange(16, dtype=np.int32), axis=2)
-        gtab_pad[:4 * L, 48:48 + nw] = w.astype(np.float32)
+        wf = w.astype(np.float32)
+        if pack == 2:
+            gtab_pad[:2 * L, 98:98 + nw] = wf[0::2]
+            gtab_pad[:2 * L, 98 + nw:98 + 2 * nw] = wf[1::2]
+        else:
+            gtab_pad[:4 * L, 48:48 + nw] = wf
         omap_dev = jnp.asarray(omap)
-    gtab_pad[:4 * L, 48 + nw:49 + nw] = (
-        lp.reshape(4 * L, 1).astype(np.int32).view(np.float32))
+    pidf = lp.reshape(4 * L, 1).astype(np.int32).view(np.float32)
+    if pack == 2:
+        gtab_pad[:2 * L, 96:97] = pidf[0::2]
+        gtab_pad[:2 * L, 97:98] = pidf[1::2]
+    else:
+        gtab_pad[:4 * L, 48 + nw:49 + nw] = pidf
     return PacketAux(leaf_lo=jnp.asarray(lo_p.T.copy()),
                      leaf_hi=jnp.asarray(hi_p.T.copy()),
                      blk_lo=jnp.asarray(blo.T.copy()),
                      blk_hi=jnp.asarray(bhi.T.copy()),
                      gtab_pad=jnp.asarray(gtab_pad),
                      center=jnp.asarray(center),
-                     omap=omap_dev, omap_s=S, n_leaf_rows=L)
+                     omap=omap_dev, omap_s=S, n_leaf_rows=L, pack=pack)
 
 
 # --------------------------------------------------------------------------
@@ -758,7 +811,7 @@ def _mt_fused_kernel(offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
                      gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                      sem_ref, *, k_cap, omap_s=0,
                      prec=lax.Precision.HIGHEST,
-                     any_hit=False, tri_blk=TRI_BLK):
+                     any_hit=False, tri_blk=TRI_BLK, pack=1):
     """Fused gather+MT: per tile, walk the compacted cull list (SMEM),
     DMA each live segment's (SEG_ROWS, 128) G-row block straight from HBM
     into a double-buffered VMEM super-block, and run the triple-product
@@ -798,7 +851,8 @@ def _mt_fused_kernel(offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
         _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref,
                        t0_ref, gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref,
                        buf_ref, sem_ref, k_cap=k_cap, omap_s=omap_s,
-                       prec=prec, any_hit=any_hit, nb=nb, tri_blk=tri_blk)
+                       prec=prec, any_hit=any_hit, nb=nb, tri_blk=tri_blk,
+                       pack=pack)
         return 0
 
     lax.fori_loop(0, tbm, tile_body, 0)
@@ -807,8 +861,9 @@ def _mt_fused_kernel(offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
 def _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
                    gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                    sem_ref, *, k_cap, omap_s, prec, any_hit,
-                   nb, tri_blk=TRI_BLK):
-    kpb = tri_blk // SEG_ROWS        # keys (segments) per super-block
+                   nb, tri_blk=TRI_BLK, pack=1):
+    rps = SEG_ROWS // pack           # gtab rows per segment
+    kpb = tri_blk // rps             # keys (segments) per super-block
     count = jnp.minimum(cnt_ref[ti, 0, 0], k_cap)
     nsb = (count + kpb - 1) // kpb
 
@@ -831,10 +886,10 @@ def _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
     # TPU worker).
 
     def seg_dma(sb, i, slot):
-        row = pl.multiple_of(offs_ref[ti, 0, sb * kpb + i], SEG_ROWS)
+        row = pl.multiple_of(offs_ref[ti, 0, sb * kpb + i], rps)
         return pltpu.make_async_copy(
-            gtab_ref.at[pl.ds(row, SEG_ROWS), :],
-            buf_ref.at[pl.ds(slot * tri_blk + i * SEG_ROWS, SEG_ROWS), :],
+            gtab_ref.at[pl.ds(row, rps), :],
+            buf_ref.at[pl.ds(slot * tri_blk + i * rps, rps), :],
             sem_ref.at[slot],
         )
 
@@ -891,71 +946,95 @@ def _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
             issue(sb + 1, 1 - slot)
 
         off = pl.multiple_of(slot * tri_blk, tri_blk)
-        g = buf_ref[pl.ds(off, tri_blk), :]               # (128, 48)
-        if prec == "vpu":
-            # depth-12 "matmuls" as 48 broadcast FMAs on the VPU: the MXU
-            # runs K=12 dots at ~9% depth utilization and f32 needs 6 bf16
-            # passes (HIGHEST) for exactness — the VPU does the same work
-            # in native f32 with no precision hack
-            det = jnp.zeros((tri_blk, TILE), jnp.float32)
-            up = jnp.zeros((tri_blk, TILE), jnp.float32)
-            vp = jnp.zeros((tri_blk, TILE), jnp.float32)
-            tp = jnp.zeros((tri_blk, TILE), jnp.float32)
-            for kk in range(12):
-                fk = f[kk:kk + 1, :]                      # (1, 256)
-                det = det + g[:, kk:kk + 1] * fk
-                up = up + g[:, 12 + kk:13 + kk] * fk
-                vp = vp + g[:, 24 + kk:25 + kk] * fk
-                tp = tp + g[:, 36 + kk:37 + kk] * fk
-        else:
-            # see _mt_kernel: >= HIGH precision or the MXU's bf16 passes
-            # manufacture hits on edge-adjacent rays
-            det = jnp.dot(g[:, 0:12], f, preferred_element_type=jnp.float32,
-                          precision=prec)
-            up = jnp.dot(g[:, 12:24], f, preferred_element_type=jnp.float32,
-                         precision=prec)
-            vp = jnp.dot(g[:, 24:36], f, preferred_element_type=jnp.float32,
-                         precision=prec)
-            tp = jnp.dot(g[:, 36:48], f, preferred_element_type=jnp.float32,
-                         precision=prec)
-        s = jnp.where(det >= 0, 1.0, -1.0)
-        ad = det * s
-        us = up * s
-        vs = vp * s
-        ts = tp * s
-        live = (sb * tri_blk + rows) < count * SEG_ROWS
-        hit = (us >= 0) & (vs >= 0) & (us + vs <= ad) & (ts > 0) & (ad > 0)
-        if omap_s:
-            # opacity-micromap alpha test (≙ tiny_bvh.h:8514-8522): the
-            # S*S bit grid rides in lanes 48.. of the same G rows, 16 bits
-            # per f32 word (exact under float->int conversion)
-            S = omap_s
+        g = buf_ref[pl.ds(off, tri_blk), :]               # (tri_blk, 128)
+        live = (sb * tri_blk + rows) < count * rps
+
+        def half(base, pcol, wcol):
+            """MT for the tris at feature lanes [base, base+48) of every
+            row: -> (tt, uu, vv, pidf) (tri_blk, TILE), tt=BVH_FAR on
+            miss. pcol = bit-cast prim-id lane, wcol = first omap word
+            lane (layout depends on pack — see PacketAux.gtab_pad)."""
+            if prec == "vpu":
+                # depth-12 "matmuls" as 48 broadcast FMAs on the VPU: the
+                # MXU runs K=12 dots at ~9% depth utilization and f32
+                # needs 6 bf16 passes (HIGHEST) for exactness — the VPU
+                # does the same work in native f32 with no precision hack
+                det = jnp.zeros((tri_blk, TILE), jnp.float32)
+                up = jnp.zeros((tri_blk, TILE), jnp.float32)
+                vp = jnp.zeros((tri_blk, TILE), jnp.float32)
+                tp = jnp.zeros((tri_blk, TILE), jnp.float32)
+                for kk in range(12):
+                    fk = f[kk:kk + 1, :]                      # (1, 256)
+                    det = det + g[:, base + kk:base + kk + 1] * fk
+                    up = up + g[:, base + 12 + kk:base + 13 + kk] * fk
+                    vp = vp + g[:, base + 24 + kk:base + 25 + kk] * fk
+                    tp = tp + g[:, base + 36 + kk:base + 37 + kk] * fk
+            else:
+                # see _mt_kernel: >= HIGH precision or the MXU's bf16
+                # passes manufacture hits on edge-adjacent rays
+                det = jnp.dot(g[:, base:base + 12], f,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+                up = jnp.dot(g[:, base + 12:base + 24], f,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+                vp = jnp.dot(g[:, base + 24:base + 36], f,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+                tp = jnp.dot(g[:, base + 36:base + 48], f,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+            s = jnp.where(det >= 0, 1.0, -1.0)
+            ad = det * s
+            us = up * s
+            vs = vp * s
+            ts = tp * s
+            hit = ((us >= 0) & (vs >= 0) & (us + vs <= ad) & (ts > 0)
+                   & (ad > 0))
             inv_ad = 1.0 / jnp.where(ad > 0, ad, 1.0)
-            iu = jnp.clip((us * inv_ad * S).astype(jnp.int32), 0, S - 1)
-            iv = jnp.clip((vs * inv_ad * S).astype(jnp.int32), 0, S - 1)
-            b = iu * S + iv                          # (128, 256)
-            nw = (S * S + 15) // 16
-            word = jnp.zeros_like(b)
-            for w in range(nw):
-                gw = g[:, 48 + w:49 + w].astype(jnp.int32)   # (128, 1)
-                word = jnp.where((b >> 4) == w, gw, word)
-            hit = hit & (((word >> (b & 15)) & 1) > 0)
-        inv_ad2 = 1.0 / jnp.where(ad > 0, ad, 1.0)
-        tt = jnp.where(hit & live, ts * inv_ad2, BVH_FAR)
+            if omap_s:
+                # opacity-micromap alpha test (≙ tiny_bvh.h:8514-8522):
+                # the S*S bit grid rides in padding lanes of the same G
+                # rows, 16 bits per f32 word (exact under float->int
+                # conversion)
+                S = omap_s
+                iu = jnp.clip((us * inv_ad * S).astype(jnp.int32), 0, S - 1)
+                iv = jnp.clip((vs * inv_ad * S).astype(jnp.int32), 0, S - 1)
+                b = iu * S + iv                          # (tri_blk, 256)
+                nw = (S * S + 15) // 16
+                word = jnp.zeros_like(b)
+                for w in range(nw):
+                    gw = g[:, wcol + w:wcol + w + 1].astype(jnp.int32)
+                    word = jnp.where((b >> 4) == w, gw, word)
+                hit = hit & (((word >> (b & 15)) & 1) > 0)
+            tt = jnp.where(hit & live, ts * inv_ad, BVH_FAR)
+            pidf = g[:, pcol:pcol + 1]                    # (tri_blk, 1)
+            return tt, us * inv_ad, vs * inv_ad, pidf
+
+        nw0 = (omap_s * omap_s + 15) // 16 if omap_s else 0
+        if pack == 2:
+            ttA, uA, vA, pfA = half(0, 96, 98)
+            ttB, uB, vB, pfB = half(48, 97, 98 + nw0)
+            isB = ttB < ttA
+            tt = jnp.where(isB, ttB, ttA)
+            uu = jnp.where(isB, uB, uA)
+            vv = jnp.where(isB, vB, vA)
+            gp = jnp.where(
+                isB, lax.bitcast_convert_type(pfB, jnp.int32),
+                lax.bitcast_convert_type(pfA, jnp.int32))
+        else:
+            tt, uu, vv, pf = half(0, 48 + nw0, 48)
+            gp = lax.bitcast_convert_type(pf, jnp.int32)
         m = jnp.min(tt, axis=0).reshape(1, TILE)
         am = jnp.argmin(tt, axis=0).astype(jnp.int32).reshape(1, TILE)
         # barycentrics of the argmin row via one-hot select — recovering
         # u/v here kills the XLA post-pass that re-intersected winners
         # (per-ray gathers of 3x(4L,3) tables + a second MT)
-        oh = (rows == am)                                  # (128, 256)
-        u_blk = jnp.sum(jnp.where(oh, us * inv_ad2, 0.0), axis=0,
-                        keepdims=True)
-        v_blk = jnp.sum(jnp.where(oh, vs * inv_ad2, 0.0), axis=0,
-                        keepdims=True)
+        oh = (rows == am)                                  # (tri_blk, 256)
+        u_blk = jnp.sum(jnp.where(oh, uu, 0.0), axis=0, keepdims=True)
+        v_blk = jnp.sum(jnp.where(oh, vv, 0.0), axis=0, keepdims=True)
         # winner's global prim id from the G-row payload lane (same
         # one-hot trick as u/v): the wrapper needs no leaf_prim gather
-        pcol = 48 + ((omap_s * omap_s + 15) // 16 if omap_s else 0)
-        gp = lax.bitcast_convert_type(g[:, pcol:pcol + 1], jnp.int32)
         p_blk = jnp.sum(jnp.where(oh, gp, 0), axis=0, keepdims=True)
         better = m < best_t
         best_t = jnp.where(better, m, best_t)
@@ -985,17 +1064,18 @@ def _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
                                    "mt_precision", "any_hit",
-                                   "tiles_per_step", "tri_blk"))
+                                   "tiles_per_step", "tri_blk", "pack"))
 def mt_resolve_fused(offs, counts, lbg, tmax, o_t, d_t, gtab_flat,
                      k_cap: int, interpret: bool = False, omap_s: int = 0,
                      mt_precision: str = "highest", any_hit: bool = False,
                      tiles_per_step: int = 8,
-                     tri_blk: int = TRI_BLK, t0=None):
+                     tri_blk: int = TRI_BLK, t0=None, pack: int = 1):
     """offs (T, k_cap) i32 PRE-DECODED gtab row offsets (segment *
-    SEG_ROWS, clamped in bounds; dead keys -> the sentinel segment's
+    rows_per_seg, clamped in bounds; dead keys -> the sentinel segment's
     offset); counts (T,) i32; lbg (T, 1, nb)
     f32 super-block gates (zeros when unsorted); tmax (T, 1) f32; o_t/d_t
-    (T, 3, 256) centered origins/dirs; gtab_flat (4L, 128) f32 lane-padded;
+    (T, 3, 256) centered origins/dirs; gtab_flat (rows, 128) f32 with
+    pack tris per row (PacketAux.gtab_pad — pass pack=aux.pack);
     t0 optional (T, 256) f32 per-ray INITIAL t bounds (defaults to the
     broadcast tile tmax) — pass min(t_max, scene-box exit t) so miss rays
     don't pin the gate early-exit's t_far at BVH_FAR (misses then settle
@@ -1011,7 +1091,7 @@ def mt_resolve_fused(offs, counts, lbg, tmax, o_t, d_t, gtab_flat,
     the kernel's dominant term — see _mt_fused_kernel)."""
     T = offs.shape[0]
     nb = lbg.shape[2]
-    sentinel = gtab_flat.shape[0] - SEG_ROWS
+    sentinel = gtab_flat.shape[0] - SEG_ROWS // pack
     if t0 is None:
         t0 = jnp.broadcast_to(tmax.reshape(T, 1), (T, TILE))
     tbm = max(1, min(tiles_per_step, T))
@@ -1043,7 +1123,7 @@ def mt_resolve_fused(offs, counts, lbg, tmax, o_t, d_t, gtab_flat,
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
     t_out, i_out, u_out, v_out, p_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
-                any_hit=any_hit, tri_blk=tri_blk),
+                any_hit=any_hit, tri_blk=tri_blk, pack=pack),
         grid=(tp // tbm,),
         in_specs=[
             pl.BlockSpec((tbm, 1, k_cap), lambda i: (i, 0, 0),
@@ -1192,14 +1272,15 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
     # matmul block. 256-tri blocks halve the per-iteration fixed cost
     # (drain/issue/gates/epilogue) relative to 128; tiny budgets shrink
     # the block so at least one full super-block exists.
-    kpb = tri_blk // SEG_ROWS
+    rps = SEG_ROWS // aux.pack     # gtab rows per segment
+    kpb = tri_blk // rps
     while Kk % kpb:
         kpb //= 2
     if not fused:
         # the gathered-layout kernel (mt_resolve) has a fixed TRI_BLK
         # block: its gate vector must be one entry per 128-tri group
         kpb = min(kpb, _KPB)
-    tb_eff = kpb * SEG_ROWS
+    tb_eff = kpb * rps
     R = rays.o.shape[0]
     T = R // TILE
     o = rays.o.reshape(T, TILE, 3)
@@ -1246,7 +1327,10 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         # trailing rows (pad leaves + sentinel segment) are already zero,
         # so whole dead segments gather harmlessly; the G rows are its
         # first 48 lanes (no separate (L, 4, 48) copy exists — r4).
-        gflat = aux.gtab_pad[:, :48]
+        # pack=2 stores tri pairs per 128-lane row; the first 96 lanes
+        # reshape straight back to per-tri 48-lane rows in tri order
+        gflat = (aux.gtab_pad[:, :96].reshape(-1, 48) if aux.pack == 2
+                 else aux.gtab_pad[:, :48])
         zrow = jnp.int32(4 * aux.n_leaf_rows)
         lanes_s = jnp.arange(SEG_ROWS, dtype=jnp.int32)
         tri_idx = jnp.where(
@@ -1289,9 +1373,9 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         # -> the all-zero sentinel segment): the kernel's DMA-issue loop
         # is its dominant term (r4 split probe), so the per-issue scalar
         # chain shrinks to one SMEM load + descriptor start
-        max_seg = aux.gtab_pad.shape[0] // SEG_ROWS - 1
+        max_seg = aux.gtab_pad.shape[0] // rps - 1
         offs = jnp.where(live, jnp.minimum(lrow, max_seg),
-                         max_seg).astype(jnp.int32) * SEG_ROWS
+                         max_seg).astype(jnp.int32) * rps
         # any-hit keeps the scalar cutoff init: its early stop compares
         # t_far against the cutoff, and an exit-capped init below the
         # cutoff could end the walk before any geometry is tested
@@ -1302,7 +1386,7 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
             mt_precision=mt_precision, any_hit=any_hit,
             tri_blk=tb_eff,
             tiles_per_step=tiles_per_step,
-            t0=None if any_hit else t0_rt)
+            t0=None if any_hit else t0_rt, pack=aux.pack)
         # prim/u/v all recovered in-kernel: no (R,)-element XLA gathers
         # (each cost milliseconds: random row gathers waste 15/16 of
         # every (8, 128) granule). Misses settle at their exit-t init
