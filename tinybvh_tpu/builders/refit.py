@@ -137,6 +137,14 @@ def refit_bvh8(bvh8, tris, plan=None):
     """
     if plan is None:
         plan = bvh8_refit_plan(np.asarray(bvh8.child))
+    else:
+        # a plan computed for a different collapse topology would scatter
+        # bounds to wrong rows silently (JAX clamps OOB scatter ids)
+        n_plan = sum(int(ids.shape[0]) for ids in plan)
+        if n_plan > bvh8.child.shape[0]:
+            raise ValueError(
+                f"refit plan covers {n_plan} node rows but BVH8 has "
+                f"{bvh8.child.shape[0]}: stale plan for a rebuilt tree")
     return _refit_bvh8_impl(bvh8, jnp.asarray(tris, jnp.float32), plan)
 
 

@@ -361,6 +361,10 @@ int32_t tinybvh_collapse_bvh8(
     int32_t *n_leaves_out)
 {
     if (width < 2 || width > 8 || leaf_width != 4) return -1;
+    /* ADD_LEAF packs at most leaf_width prims; a larger combine would
+     * silently drop triangles from combined leaves. Refuse -> caller
+     * falls back to the python collapse, which handles any width. */
+    if (combine > leaf_width) return -1;
     /* subtree prim totals + range [start, end): children always have
      * higher indices than their parent in the builders' layouts, so one
      * reverse sweep suffices; bail out (-1 -> caller falls back) if the

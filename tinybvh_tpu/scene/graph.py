@@ -509,6 +509,10 @@ class Scene:
             self._blas_host[mid] = h8
             self._blas_meta = getattr(self, "_blas_meta", {})
             self._blas_meta[mid] = bvh2
+            # a rebuild changes collapse topology: a cached refit plan
+            # would scatter bounds to wrong rows (silently, JAX clamps
+            # OOB scatter ids) if the policy later flips to rigid
+            getattr(self, "_refit_plans", {}).pop(mid, None)
         elif deformed and policy == "rigid":
             # direct 8-wide refit on device (≙ MBVH<8>::Refit,
             # tiny_bvh.h:4925-4961): keeps the collapse topology, runs

@@ -205,8 +205,16 @@ def build_tlas(blases, transforms, masks=None, builder=None,
     # HOST inverse (f64 for conditioning): the previous device
     # mat4_inverse + np.asarray readback paid an eager-op remote compile
     # plus a D2H transfer through the tunnel backend — measured 390 s of
-    # an 8-instance TLAS build, i.e. the entire build cost
-    inv = np.linalg.inv(mats.astype(np.float64)).astype(np.float32)
+    # an 8-instance TLAS build, i.e. the entire build cost. Singular
+    # transforms (e.g. zero scale used to hide an instance) get an
+    # identity inverse; their mask is zeroed so they can never be hit.
+    m64 = mats.astype(np.float64)
+    det = np.linalg.det(m64)
+    degenerate = ~np.isfinite(det) | (np.abs(det) < 1e-30)
+    if degenerate.any():
+        m64 = np.where(degenerate[:, None, None], np.eye(4), m64)
+        masks = np.where(degenerate, 0, masks)
+    inv = np.linalg.inv(m64).astype(np.float32)
 
     return TLAS8(
         bounds=jnp.asarray(merged_bounds, jnp.float32),
