@@ -436,20 +436,30 @@ class Scene:
             self._update_blas(mid, mid in deformed)
         self._blas_dirty.clear()
 
-        # TLAS rebuild over current instances
+        # TLAS rebuild over current instances. The merged BLAS tables are
+        # cached device-resident across frames (≙ the reference rebuilding
+        # only tlas->Build over instance AABBs per frame,
+        # tiny_scene.h:3687-3696) — a frame with unchanged BLASes
+        # transfers only the instance-level TLAS rows.
         self._instances = instances
         if instances:
-            from tinybvh_tpu.tlas.instance import build_tlas
+            from tinybvh_tpu.tlas.instance import (build_tlas_from_merged,
+                                                   merge_blas_tables)
 
             used = sorted({m for m, _ in instances})
             remap = {m: i for i, m in enumerate(used)}
             pairs = [(remap[m], w) for m, w in instances]
             bh = getattr(self, "_blas_host", {})
             host8s = [bh.get(m) for m in used]
-            self._tlas = build_tlas(
-                [self._blas[m] for m in used], pairs,
-                host8s=host8s if all(h is not None for h in host8s)
-                else None)
+            key = (tuple(used),
+                   tuple(id(self._blas[m]) for m in used))
+            if getattr(self, "_merged_key", None) != key:
+                self._merged = merge_blas_tables(
+                    [self._blas[m] for m in used],
+                    host8s if all(h is not None for h in host8s) else None,
+                ).to_device()
+                self._merged_key = key
+            self._tlas = build_tlas_from_merged(self._merged, pairs)
             self._tlas_meshes = used
         return self
 
@@ -492,11 +502,24 @@ class Scene:
         # documented BVH_STATIC semantics, tiny_scene.h:106-110)
         if mid not in self._blas or (deformed and policy == "dynamic"):
             # host copies end-to-end: collapse/aux from device arrays
-            # would pay D2H readbacks (minutes/MB through the tunnel)
-            bvh2, host = build_binned(mesh.tris, max_leaf=4,
-                                      return_host=True)
-            h8 = collapse_bvh2(bvh2, np.asarray(mesh.tris, np.float32),
-                               host=host, as_host=True)
+            # would pay D2H readbacks (minutes/MB through the tunnel).
+            # Prefer the native C build + collapse (same fast path as
+            # api.BVH — the numpy builder costs seconds per 100k tris,
+            # which made the first Scene.update ~7 s on a 33k-tri scene)
+            from tinybvh_tpu.native import (build_binned_native,
+                                            collapse_bvh8_native)
+
+            tris_h = np.asarray(mesh.tris, np.float32)
+            h8 = None
+            got = build_binned_native(tris_h, max_leaf=4, return_host=True,
+                                      make_device=False)
+            if got is not None:
+                _, host = got
+                h8 = collapse_bvh8_native(host, tris_h, combine=4)
+            if h8 is None:
+                bvh2, host = build_binned(mesh.tris, max_leaf=4,
+                                          return_host=True)
+                h8 = collapse_bvh2(bvh2, tris_h, host=host, as_host=True)
             from tinybvh_tpu.layouts.mbvh import BVH8
 
             self._blas[mid] = BVH8(
@@ -508,7 +531,7 @@ class Scene:
             self._blas_host = getattr(self, "_blas_host", {})
             self._blas_host[mid] = h8
             self._blas_meta = getattr(self, "_blas_meta", {})
-            self._blas_meta[mid] = bvh2
+            self._blas_meta[mid] = host
             # a rebuild changes collapse topology: a cached refit plan
             # would scatter bounds to wrong rows (silently, JAX clamps
             # OOB scatter ids) if the policy later flips to rigid

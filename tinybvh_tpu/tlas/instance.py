@@ -54,6 +54,83 @@ class TLAS8:
     n_leaf_rows: int = struct.field(pytree_node=False)
 
 
+class MergedBlas:
+    """Concatenated BLAS tables, cached across per-frame TLAS rebuilds.
+
+    The reference re-Builds only the TLAS over instance AABBs each frame
+    (UpdateSceneGraph, tiny_scene.h:3687-3696) — the BLAS memory is
+    untouched. This is the TPU twin: merge the (large, static) BLAS node
+    and leaf tables ONCE, device-resident; per frame only the small TLAS
+    rows are rebuilt on the host and prepended on device
+    (build_tlas_from_merged)."""
+
+    def __init__(self, blases, host8s=None):
+        node_off, leaf_off = [], []
+        b_parts, c_parts, lt_parts, lp_parts = [], [], [], []
+        blas_root = []
+        n_nodes = n_leaves = 0
+        self.any_device = False
+        for bi, b in enumerate(blases):
+            h = host8s[bi] if host8s is not None else None
+            node_off.append(n_nodes)
+            leaf_off.append(n_leaves)
+            if h is not None:
+                bo = h["bounds"]
+                ch = np.where(
+                    h["child"] == EMPTY_SLOT, h["child"],
+                    np.where(h["child"] >= 0, h["child"] + n_nodes,
+                             h["child"] - n_leaves)).astype(np.int32)
+                lt, lp = h["leaf_tris"], h["leaf_prim"]
+                blas_root.append(bo[0].reshape(6, 8))
+            else:
+                # device BLAS (e.g. after a device refit): rebase on
+                # device — a D2H readback here would cost minutes/MB
+                self.any_device = True
+                bo = b.bounds
+                ch = jnp.where(
+                    b.child == EMPTY_SLOT, b.child,
+                    jnp.where(b.child >= 0, b.child + n_nodes,
+                              b.child - n_leaves))
+                lt, lp = b.leaf_tris, b.leaf_prim
+                blas_root.append(None)  # resolved lazily below
+            b_parts.append(bo)
+            c_parts.append(ch)
+            lt_parts.append(lt)
+            lp_parts.append(lp)
+            n_nodes += b.n_nodes
+            n_leaves += b.n_leaves
+        cat = jnp.concatenate if self.any_device else np.concatenate
+        asa = (lambda x: x) if not self.any_device else jnp.asarray
+        self.bounds = cat([asa(p) for p in b_parts])
+        self.child = cat([asa(p) for p in c_parts])
+        self.leaf_tris = cat([asa(p) for p in lt_parts])
+        self.leaf_prim = cat([asa(p) for p in lp_parts])
+        # root boxes (host): needed every frame for instance world AABBs.
+        # A device-refit BLAS pays ONE tiny (48,) readback here per merge.
+        self.blas_root = [
+            r if r is not None else np.asarray(blases[i].bounds[0])
+            .reshape(6, 8)
+            for i, r in enumerate(blas_root)]
+        self.node_off = node_off
+        self.n_nodes = n_nodes
+        self.n_leaves = n_leaves
+
+    def to_device(self) -> "MergedBlas":
+        """Move the merged tables to the device once; subsequent
+        build_tlas_from_merged calls then transfer only TLAS rows."""
+        if not isinstance(self.bounds, np.ndarray):
+            return self
+        self.bounds = jnp.asarray(self.bounds, jnp.float32)
+        self.child = jnp.asarray(self.child, jnp.int32)
+        self.leaf_tris = jnp.asarray(self.leaf_tris, jnp.float32)
+        self.leaf_prim = jnp.asarray(self.leaf_prim, jnp.int32)
+        return self
+
+
+def merge_blas_tables(blases, host8s=None) -> MergedBlas:
+    return MergedBlas(blases, host8s)
+
+
 def build_tlas(blases, transforms, masks=None, builder=None,
                host8s=None) -> TLAS8:
     """Build a TLAS8 from BVH8 BLASes + per-instance 4x4 transforms.
@@ -63,10 +140,19 @@ def build_tlas(blases, transforms, masks=None, builder=None,
     (blas_id, transform) pairs.
 
     host8s: optional list of host-array dicts aligned with blases
-    (collapse_bvh2 as_host). The merge below is host-side numpy; without
+    (collapse_bvh2 as_host). The merge is host-side numpy; without
     host copies every BLAS array pays a device->host readback, which
     costs minutes per MB through the tunnel backend.
+
+    Per-frame callers should cache merge_blas_tables(...) and call
+    build_tlas_from_merged — only the instance-level rows rebuild.
     """
+    return build_tlas_from_merged(merge_blas_tables(blases, host8s),
+                                  transforms, masks=masks, builder=builder)
+
+
+def build_tlas_from_merged(merged: MergedBlas, transforms, masks=None,
+                           builder=None) -> TLAS8:
     from tinybvh_tpu.builders.binned import build_binned_aabbs
 
     if isinstance(transforms, (list, tuple)) and transforms and isinstance(
@@ -80,39 +166,18 @@ def build_tlas(blases, transforms, masks=None, builder=None,
     I = mats.shape[0]
     if masks is None:
         masks = np.full(I, 0xFFFF, np.int32)
-
-    # ---- merge BLAS tables ------------------------------------------------
-    node_off, leaf_off = [], []
-    bounds_list, child_list, ltris, lprim = [], [], [], []
-    n_nodes = 0
-    n_leaves = 0
-    for bi, b in enumerate(blases):
-        h = host8s[bi] if host8s is not None else None
-        node_off.append(n_nodes)
-        leaf_off.append(n_leaves)
-        bounds_list.append(h["bounds"] if h else np.asarray(b.bounds))
-        ch = (h["child"] if h else np.asarray(b.child)).copy()
-        ch = np.where(
-            ch == EMPTY_SLOT, ch,
-            np.where(ch >= 0, ch + n_nodes, ch - n_leaves),
-        )
-        child_list.append(ch)
-        ltris.append(h["leaf_tris"] if h else np.asarray(b.leaf_tris))
-        lprim.append(h["leaf_prim"] if h else np.asarray(b.leaf_prim))
-        n_nodes += b.n_nodes
-        n_leaves += b.n_leaves
+    node_off = merged.node_off
+    n_leaves = merged.n_leaves
 
     # ---- instance world AABBs + TLAS build --------------------------------
     inst_root_local = np.array(
         [node_off[blas_ids[i]] for i in range(I)], np.int32
     )
     blas_lo = np.stack([
-        bounds_list[blas_ids[i]][0].reshape(6, 8)[:3].min(1)
-        for i in range(I)
+        merged.blas_root[blas_ids[i]][:3].min(1) for i in range(I)
     ])
     blas_hi = np.stack([
-        bounds_list[blas_ids[i]][0].reshape(6, 8)[3:].max(1)
-        for i in range(I)
+        merged.blas_root[blas_ids[i]][3:].max(1) for i in range(I)
     ])
     # numpy twin of core.vecmath.transform_aabb (center' ± |A|·extent):
     # a device round-trip here would cost an eager-op compile + D2H
@@ -191,16 +256,9 @@ def build_tlas(blases, transforms, masks=None, builder=None,
             t_child[row] = rc
 
     n_tlas = len(t_bounds)
-    tlas_bounds = np.stack([b.reshape(-1) for b in t_bounds])
-    tlas_child = np.stack(t_child)
-    # TLAS rows come first; BLAS node refs shift by n_tlas, leaf/instance
-    # codes are row-count independent
-    merged_bounds = np.concatenate([tlas_bounds] + [
-        b.reshape(b.shape[0], -1) for b in bounds_list
-    ]) if bounds_list else tlas_bounds
-    merged_child = np.concatenate([tlas_child] + [
-        np.where(c >= 0, c + n_tlas, c) for c in child_list
-    ]) if child_list else tlas_child
+    tlas_bounds = np.stack([b.reshape(-1) for b in t_bounds]).astype(
+        np.float32)
+    tlas_child = np.stack(t_child).astype(np.int32)
 
     # HOST inverse (f64 for conditioning): the previous device
     # mat4_inverse + np.asarray readback paid an eager-op remote compile
@@ -216,16 +274,43 @@ def build_tlas(blases, transforms, masks=None, builder=None,
         masks = np.where(degenerate, 0, masks)
     inv = np.linalg.inv(m64).astype(np.float32)
 
+    # TLAS rows come first; BLAS node refs shift by n_tlas, leaf/instance
+    # codes are row-count independent. With a host merge this is one numpy
+    # concat + one upload; with a device-resident merge (per-frame scene
+    # updates, refit BLASes) only the small TLAS rows transfer and the
+    # combine runs as one jitted device op.
+    mb, mc = merged.bounds, merged.child
+    if isinstance(mb, np.ndarray):
+        bounds_all = jnp.asarray(np.concatenate(
+            [tlas_bounds, mb.reshape(mb.shape[0], -1)]), jnp.float32)
+        child_all = jnp.asarray(np.concatenate(
+            [tlas_child, np.where(mc >= 0, mc + n_tlas, mc)]), jnp.int32)
+        lt = jnp.asarray(merged.leaf_tris, jnp.float32)
+        lp = jnp.asarray(merged.leaf_prim, jnp.int32)
+    else:
+        bounds_all, child_all = _combine_tlas_rows(
+            jnp.asarray(tlas_bounds), jnp.asarray(tlas_child), mb, mc)
+        lt, lp = merged.leaf_tris, merged.leaf_prim
+
     return TLAS8(
-        bounds=jnp.asarray(merged_bounds, jnp.float32),
-        child=jnp.asarray(merged_child, jnp.int32),
-        leaf_tris=jnp.asarray(np.concatenate(ltris), jnp.float32),
-        leaf_prim=jnp.asarray(np.concatenate(lprim), jnp.int32),
+        bounds=bounds_all,
+        child=child_all,
+        leaf_tris=lt,
+        leaf_prim=lp,
         inst_inv=jnp.asarray(inv, jnp.float32),
         inst_mask=jnp.asarray(masks, jnp.int32),
         inst_root=jnp.asarray(inst_root_local + n_tlas, jnp.int32),
         n_leaf_rows=int(n_leaves),
     )
+
+
+@jax.jit
+def _combine_tlas_rows(tlas_bounds, tlas_child, mb, mc):
+    n_tlas = tlas_bounds.shape[0]
+    bounds_all = jnp.concatenate([tlas_bounds, mb.reshape(mb.shape[0], -1)])
+    child_all = jnp.concatenate(
+        [tlas_child, jnp.where(mc >= 0, mc + n_tlas, mc)])
+    return bounds_all, child_all
 
 
 def _slab8(o, rd, t, bounds):
