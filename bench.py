@@ -40,6 +40,37 @@ import numpy as np
 
 _REF = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "benchmarks", "ref_baseline.json")
+_REF_LIVE = "/tmp/ref_baseline_live.json"
+
+
+def _live_ref_baseline():
+    """Compile + run the upstream reference on THIS machine so the
+    `ref_*` comparison fields are measured in the same environment as
+    the bench (the r4 verdict flagged the checked-in JSON as possibly
+    from a faster host). Writes /tmp/ref_baseline_live.json; quiet
+    no-op on any failure (the checked-in JSON stays the fallback)."""
+    import subprocess
+
+    src = os.path.join(os.path.dirname(_REF), "ref_baseline.cpp")
+    exe = "/tmp/ref_baseline"
+    try:
+        if not os.path.exists(exe) or (os.path.getmtime(exe)
+                                       < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++20",
+                 "-I/root/reference", src, "-o", exe],
+                check=True, capture_output=True, timeout=240)
+        live = {"measured": "in-bench"}
+        for name, args in (("bunny", []), ("bunny_grid4", ["grid"])):
+            r = subprocess.run(
+                [exe, "/root/reference/testdata/bunny.bin"] + args,
+                capture_output=True, text=True, timeout=120, check=True)
+            live[name] = json.loads(r.stdout.strip().splitlines()[-1])
+        with open(_REF_LIVE, "w") as f:
+            json.dump(live, f)
+        return live
+    except Exception:
+        return None
 
 
 def _setup_cache():
@@ -597,6 +628,16 @@ def _sub_section(section, budget=None):
             ref = json.load(f)
     except OSError:
         pass
+    # prefer the live same-machine baseline when main() managed to
+    # produce one before this section started (verdict r4 weak #4)
+    try:
+        with open(_REF_LIVE) as f:
+            live = json.load(f)
+        for k, v in live.items():
+            if isinstance(v, dict):
+                ref[k] = dict(ref.get(k, {}), **v)
+    except OSError:
+        pass
     bunny, scene_name = _load_bunny()
 
     if section == "bunny":
@@ -817,6 +858,18 @@ def main():
     # line so the final headline JSON always lands with rc=0
     deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", "1350"))
     detail = {}
+    # same-machine upstream baseline, concurrent with the first
+    # section's warm-up (pure host work; the TPU sections are
+    # dispatch-bound, not CPU-bound)
+    import threading
+
+    ref_live_box = {}
+
+    def _ref_thread():
+        ref_live_box["live"] = _live_ref_baseline()
+
+    rt = threading.Thread(target=_ref_thread, daemon=True)
+    rt.start()
     me = os.path.abspath(__file__)
     only = os.environ.get("BENCH_SECTIONS",
                           "bunny,grid4,grid16,inst8,inst512,drone,builddev")
@@ -886,6 +939,12 @@ def main():
         # leaves a complete, parseable JSON line as the tail
         print(json.dumps(_headline(detail)), flush=True)
 
+    rt.join(timeout=5)
+    live = ref_live_box.get("live")
+    if live:
+        # same-machine upstream numbers next to ours (verdict r4 #7)
+        detail["ref_live"] = {k: v for k, v in live.items()
+                              if isinstance(v, dict)}
     print(json.dumps(_headline(detail)), flush=True)
 
 

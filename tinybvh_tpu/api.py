@@ -124,6 +124,7 @@ class BVH:
                 leaf_prim=jnp.asarray(h8["leaf_prim"]),
             )
         self._packet_aux = None
+        self._rayloop_tables = None
 
     @property
     def bvh2(self):
@@ -192,6 +193,19 @@ class BVH:
                 self._packet_aux = build_packet_aux(self.bvh8)
         return self._packet_aux
 
+    @property
+    def rayloop_tables(self):
+        """Lazy flat gather tables for the per-ray rayloop engine
+        (traverse.rayloop) — the incoherent-ray fast path."""
+        if self._rayloop_tables is None:
+            if self.bvh8 is None:
+                raise ValueError("rayloop tracing needs the bvh8 layout")
+            from tinybvh_tpu.traverse.rayloop import make_rayloop_tables
+
+            self._rayloop_tables = make_rayloop_tables(
+                self.bvh8, host=self._bvh8_host)
+        return self._rayloop_tables
+
     # -- queries ----------------------------------------------------------
     def intersect(self, rays: Rays, t_max=BVH_FAR, engine: str = "auto"):
         """Closest hit. engine:
@@ -199,6 +213,8 @@ class BVH:
                        overflow retry), lockstep BVH2 without bvh8
           "packets"  — packet2 pipeline with coherence sort (TPU-compiled;
                        needs R %% 256 == 0); exact (in-call retrace)
+          "rayloop"  — per-ray ordered traversal with round compaction
+                       (traverse.rayloop): the incoherent-ray fast path
           "wavefront"/"lockstep" — explicit engine pick
         All engines are exact; they differ only in speed profile
         (≙ the reference's per-layout Intersect dispatch)."""
@@ -206,6 +222,25 @@ class BVH:
 
         R = rays.o.shape[0]
         t_scalar = not hasattr(t_max, "shape")
+        if engine == "rayloop":
+            from jax import lax
+
+            from tinybvh_tpu.traverse.rayloop import intersect_rayloop
+            from tinybvh_tpu.traverse.wide import intersect_bvh8
+
+            h, sovf = intersect_rayloop(self.rayloop_tables, rays, t_max)
+
+            def fb(_):
+                # per-ray stack overflow (S=24): pathological depth —
+                # escalate to the deep-stack lockstep engine
+                h2 = intersect_bvh8(self.bvh8, rays, t_max)
+                return (h2.t, h2.u, h2.v, h2.prim, h2.inst)
+
+            def keep(_):
+                return (h.t, h.u, h.v, h.prim, h.inst)
+
+            t, u, v, p, i = lax.cond(jnp.any(sovf), fb, keep, 0)
+            return Hits(t=t, u=u, v=v, prim=p, inst=i)
         if t_scalar and (engine == "packets" or (
             engine == "auto" and self.bvh8 is not None and R % 256 == 0
             and R >= 4096 and jax.default_backend() == "tpu"
@@ -258,6 +293,17 @@ class BVH:
 
     def is_occluded(self, rays: Rays, t_max, engine: str = "auto"):
         """Any-hit occlusion; engine semantics as in intersect()."""
+        if engine == "rayloop" and self.bvh8 is not None:
+            from jax import lax
+
+            from tinybvh_tpu.traverse.rayloop import is_occluded_rayloop
+            from tinybvh_tpu.traverse.wide import is_occluded_bvh8
+
+            occ, sovf = is_occluded_rayloop(self.rayloop_tables, rays, t_max)
+            return lax.cond(
+                jnp.any(sovf),
+                lambda _: is_occluded_bvh8(self.bvh8, rays, t_max),
+                lambda _: occ, 0)
         if self.bvh8 is not None:
             from tinybvh_tpu.traverse.wide import is_occluded_bvh8
 
@@ -304,6 +350,7 @@ class BVH:
             # refit moved geometry: host copies and packet tables are stale
             self._bvh8_host = None
             self._packet_aux = None
+            self._rayloop_tables = None
         return self
 
     # -- metrics ----------------------------------------------------------
