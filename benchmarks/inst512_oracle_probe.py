@@ -99,6 +99,56 @@ def main():
         print(f"  ray {sub + b}: bucketed {hi_[b]}/{hp[b]}/{ht[b]:.5f} "
               f"oracle {oi[b]}/{op[b]}/{ot[b]:.5f}")
 
+    # ---- attribute the >1%-t disagreements (the reference's gate) to an
+    # engine via f64 brute force over all 512 instances ------------------
+    s_ours = float(np.where(hp >= 0, ht, 0.0).sum())
+    s_ref = float(np.where(op >= 0, ot, 0.0).sum())
+    print("t checksum ratio (bucketed/oracle):",
+          round(s_ours / max(s_ref, 1e-9), 5))
+    t_bad = np.abs(ht - ot) > 0.01 * np.maximum(np.abs(ot), 1e-9)
+    t_bad |= (hp >= 0) != (op >= 0)
+    idx = np.nonzero(t_bad)[0][:24]
+    print(f"rays past the 1% gate: {int(t_bad.sum())}/{t_bad.size}; "
+          f"brute-forcing {len(idx)}", flush=True)
+    tri = np.asarray(bunny, np.float64)
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - v0
+    e2 = tri[:, 2] - v0
+    invs = np.asarray(tp.inst_inv, np.float64)
+    buckets = {"oracle_wrong": 0, "bucketed_wrong": 0, "both_wrong": 0}
+    for b in idx:
+        oo = np.asarray(o[sub + b], np.float64)
+        dd = np.asarray(d[sub + b], np.float64)
+        t_true = np.inf
+        for ii in range(invs.shape[0]):
+            o2 = invs[ii, :3, :3] @ oo + invs[ii, :3, 3]
+            d2 = invs[ii, :3, :3] @ dd
+            h = np.cross(d2, e2)
+            det = (e1 * h).sum(1)
+            ok = np.abs(det) > 1e-30
+            inv_d = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+            s = o2 - v0
+            uu = (s * h).sum(1) * inv_d
+            q = np.cross(s, e1)
+            vv = (d2[None] * q).sum(1) * inv_d
+            t = (e2 * q).sum(1) * inv_d
+            hitm = ok & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (t > 1e-9)
+            if hitm.any():
+                t_true = min(t_true, float(t[hitm].min()))
+        ok_b = (np.isfinite(t_true) and hp[b] >= 0
+                and abs(ht[b] - t_true) <= 0.005 * t_true) or (
+            not np.isfinite(t_true) and hp[b] < 0)
+        ok_o = (np.isfinite(t_true) and op[b] >= 0
+                and abs(ot[b] - t_true) <= 0.005 * t_true) or (
+            not np.isfinite(t_true) and op[b] < 0)
+        tag = ("both_wrong" if not ok_b and not ok_o
+               else "oracle_wrong" if ok_b else "bucketed_wrong")
+        buckets[tag] += 1
+        print(f"  ray {sub + b}: true t {t_true:.5f}  bucketed "
+              f"{ht[b]:.5f} ({'ok' if ok_b else 'WRONG'})  oracle "
+              f"{ot[b]:.5f} ({'ok' if ok_o else 'WRONG'})", flush=True)
+    print("attribution:", buckets)
+
 
 if __name__ == "__main__":
     main()

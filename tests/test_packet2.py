@@ -457,3 +457,57 @@ def test_per_ray_t_max(scene):
     np.testing.assert_array_equal(np.asarray(h.prim)[:256],
                                   np.asarray(h_ref.prim)[:256])
     assert (np.asarray(h.prim)[256:] == -1).all()
+
+
+@pytest.mark.parametrize("m", [2, 4, 8])
+def test_span_mult_matches_fine(scene, m):
+    """Coarse cull granularity (span_mult) must reproduce the fine trace
+    exactly — each coarse key DMAs span_mult contiguous fine segments, so
+    only the cull granularity (not the tested geometry) changes."""
+    tris, bvh8, aux = scene
+    o, d = _camera_rays(T=4)
+    rays = make_rays(o, d)
+    ref, _ = intersect_packets2(bvh8, aux, rays, max_leaves=512,
+                                interpret=True, retrace=False)
+    hits, ovf = intersect_packets2(bvh8, aux, rays,
+                                   max_leaves=512 * m, span_mult=m,
+                                   interpret=True, retrace=False)
+    assert not np.asarray(ovf).any()
+    rp = np.asarray(ref.prim)
+    assert (np.asarray(hits.prim) == rp).all()
+    hm = rp >= 0
+    np.testing.assert_allclose(np.asarray(hits.t)[hm],
+                               np.asarray(ref.t)[hm], rtol=1e-4, atol=1e-4)
+
+
+def test_span_mult_diffuse_and_occlusion(scene):
+    """span_mult through the sorted-diffuse and shadow wrappers."""
+    from tinybvh_tpu.traverse.packet2 import is_occluded_packets2_sorted
+
+    tris, bvh8, aux = scene
+    rng = np.random.default_rng(11)
+    o = rng.uniform(-1, 11, (1024, 3)).astype(np.float32)
+    d = rng.normal(size=(1024, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d)
+    hits, fb = intersect_packets2_sorted(
+        bvh8, aux, rays, [0.0, 0.0, 0.0], [10.0, 10.0, 10.0],
+        max_leaves=2048, span_mult=4, interpret=True, retrace="packet",
+        retrace_ml=8192, retrace_blocks=256)
+    ref, wovf = intersect_wavefront(bvh8, rays, cap_factor=24)
+    assert not bool(np.asarray(wovf))
+    assert (np.asarray(hits.prim) == np.asarray(ref.prim)).all()
+
+    oc, dc = _camera_rays(T=2)
+    rays_c = make_rays(oc, dc)
+    refc, _ = intersect_wavefront(bvh8, rays_c, cap_factor=16)
+    pts = np.clip(np.asarray(refc.t)[:, None] * dc + oc, -50, 50)[:512]
+    light = np.array([5.0, 14.0, 5.0], np.float32)
+    occ0, _ = is_occluded_packets2(bvh8, aux, light, pts,
+                                   interpret=True, retrace=True,
+                                   wf_cap_factor=24)
+    occ1, ovf1 = is_occluded_packets2_sorted(
+        bvh8, aux, light, pts, interpret=True, retrace="packet",
+        max_leaves=1024, span_mult=4, retrace_ml=8192, retrace_blocks=256)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+    assert not np.asarray(ovf1).any()

@@ -76,6 +76,15 @@ TRI_BLK = 128            # triangles per K2 matmul block (= 8 segments)
 SPAN = 4                 # leaves per cull segment
 SEG_ROWS = 4 * SPAN      # gtab rows (tris) per segment
 _KPB = TRI_BLK // SEG_ROWS   # keys (segments) per MT super-block
+# span_mult coarsening cap: incoherent phases cull at span_mult x SPAN
+# leaves per key (consecutive fine segments are CONTIGUOUS gtab rows, so
+# one DMA covers the whole coarse segment — span_mult x fewer descriptor
+# issues, and the issue loop dominates the fused kernel on survivor-heavy
+# tiles: r5 split probe measured ~110 ns/descriptor = 109 of 116 ms of
+# the exact diffuse trace). gtab_pad carries 2*M_MAX*rps trailing zero
+# rows so the last coarse segment's overhang and the dead-key sentinel
+# block stay in-bounds for any span_mult <= M_MAX.
+M_MAX = 8
 
 
 @struct.dataclass
@@ -231,7 +240,7 @@ def build_packet_aux(bvh8: BVH8, omap=None, pack: int = 2) -> PacketAux:
     # branch-free (scalar-loop cost dominates the MT kernel; see
     # _mt_fused_tile)
     lseg = -(-L // SPAN) * SPAN
-    tail = (4 * (lseg - L) + SEG_ROWS) // pack
+    tail = (4 * (lseg - L)) // pack + 2 * M_MAX * (SEG_ROWS // pack)
     gtab_pad = jnp.concatenate(
         [gtab_pad, jnp.zeros((tail, gtab_pad.shape[1]), jnp.float32)],
         axis=0)
@@ -289,7 +298,7 @@ def build_packet_aux_host(bvh8_host: dict, omap=None,
     # chain of (4L, 48/128) concatenates materialized ~1.2 GB three times
     # over on Mtri-scale scenes (measured 72 s of the grid16 aux build)
     lseg = -(-L // SPAN) * SPAN
-    rows = (4 * lseg + SEG_ROWS) // pack
+    rows = (4 * lseg) // pack + 2 * M_MAX * (SEG_ROWS // pack)
     gtab_pad = np.zeros((rows, 128), np.float32)
 
     def put(col, arr3):
@@ -584,11 +593,11 @@ def _cull_kernel(nblk_ref, wl_ref, desc_ref, llo_ref, lhi_ref, keys_ref,
 
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "max_blocks",
-                                   "leaf_bits", "chunk_blocks"))
+                                   "leaf_bits", "chunk_blocks", "span_mult"))
 def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
                k_cap: int = 256, interpret: bool = False,
                max_blocks: int = 128, leaf_bits: int = _LEAF_BITS,
-               chunk_blocks: int = CULL_CHUNK):
+               chunk_blocks: int = CULL_CHUNK, span_mult: int = 1):
     """Two-level dense frustum cull: per tile the (lb|segment) keys of
     every SPAN-leaf segment whose union AABB intersects the tile frustum
     (unordered, live keys compacted to the front, I32MAX padded) +
@@ -602,7 +611,16 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
 
     posn/negn: (T, 4, 3) relu/negative parts of inward plane normals;
     thresh: (T, 4) min over the tile's origin box of n.o; olo/ohi: (T, 3)
-    origin box. Returns (keys (T, >=k_cap) i32, counts (T,) i32)."""
+    origin box. Returns (keys (T, >=k_cap) i32, counts (T,) i32).
+
+    span_mult: cull-granularity coarsening — each key covers span_mult
+    consecutive SPAN-leaf segments (their union AABB, derived from the
+    fine tables by reshape-min/max; consecutive segments are contiguous
+    gtab rows, so the fused MT kernel DMAs a coarse segment with ONE
+    descriptor). Survivor-heavy incoherent phases trade a few extra MT
+    rows for span_mult x fewer DMA issues and a span_mult x narrower
+    butterfly compaction."""
+    assert 1 <= span_mult <= M_MAX and 128 % span_mult == 0
     T = posn.shape[0]
     GPB = 8        # worklist groups per K1b grid step (overhead amortizer)
     if tcap is None:
@@ -618,9 +636,39 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
         tcap = jnp.concatenate([tcap, jnp.zeros((pad,))], axis=0)
     tp = posn.shape[0]
     G = tp // TB
-    lpad = aux.leaf_lo.shape[1]
-    nbpad = aux.blk_lo.shape[1]
-    nb = aux.n_blocks
+    if span_mult == 1:
+        llo, lhi = aux.leaf_lo, aux.leaf_hi
+        blo_t, bhi_t = aux.blk_lo, aux.blk_hi
+        n_segs = aux.n_segs
+        nb = aux.n_blocks
+    else:
+        # coarse tables: union boxes of span_mult consecutive fine
+        # segments (fine Spad is a multiple of 128, so it divides)
+        m = span_mult
+        Sf = aux.leaf_lo.shape[1]
+        llo = aux.leaf_lo.reshape(3, Sf // m, m).min(axis=2)
+        lhi = aux.leaf_hi.reshape(3, Sf // m, m).max(axis=2)
+        n_segs = -(-aux.n_segs // m)
+        smp = -(-llo.shape[1] // LANES) * LANES
+        if smp != llo.shape[1]:
+            padw = smp - llo.shape[1]
+            llo = jnp.concatenate(
+                [llo, jnp.full((3, padw), BVH_FAR)], axis=1)
+            lhi = jnp.concatenate(
+                [lhi, jnp.full((3, padw), -BVH_FAR)], axis=1)
+        # coarse block tier: unions per 128 coarse segments (padding
+        # segments carry inverted boxes, so they vanish in the min/max)
+        nbm = smp // LANES
+        blo_t = llo.reshape(3, nbm, LANES).min(axis=2)
+        bhi_t = lhi.reshape(3, nbm, LANES).max(axis=2)
+        nbp = -(-nbm // LANES) * LANES
+        blo_t = jnp.concatenate(
+            [blo_t, jnp.full((3, nbp - nbm), BVH_FAR)], axis=1)
+        bhi_t = jnp.concatenate(
+            [bhi_t, jnp.full((3, nbp - nbm), -BVH_FAR)], axis=1)
+        nb = -(-n_segs // LANES)
+    lpad = llo.shape[1]
+    nbpad = blo_t.shape[1]
 
     # ONE lane-aligned (T, 128) descriptor row per tile (see _D_* layout):
     # separate tiny unaligned inputs cost ~25 us of padded fetches per
@@ -639,8 +687,8 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
     dist = -thresh[:, :, None]                            # (tp, 4, 1)
     for k in range(3):
         dist = (dist
-                + posn[:, :, k, None] * aux.blk_hi[None, k, :]
-                + negn[:, :, k, None] * aux.blk_lo[None, k, :])
+                + posn[:, :, k, None] * bhi_t[None, k, :]
+                + negn[:, :, k, None] * blo_t[None, k, :])
     inb = jnp.arange(nbpad, dtype=jnp.int32) < nb
     blkmask = (jnp.logical_not(jnp.any(dist < 0.0, axis=1))
                & inb).reshape(G, TB, nbpad).any(axis=1).astype(jnp.int32)
@@ -661,7 +709,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
     nblk_in = jnp.minimum(n_blk_g, max_blocks).astype(jnp.int32).reshape(
         G, 1, 1)
     keys, cnt = pl.pallas_call(
-        partial(_cull_kernel, n_leaves=aux.n_segs, k_cap=k_cap,
+        partial(_cull_kernel, n_leaves=n_segs, k_cap=k_cap,
                 max_blocks=max_blocks, leaf_bits=leaf_bits,
                 chunk_blocks=chunk_blocks),
         grid=(G,),
@@ -695,7 +743,7 @@ def cull_tiles(aux: PacketAux, posn, negn, thresh, olo, ohi, tcap=None,
             pltpu.VMEM((TB, min(chunk_blocks, max_blocks) * LANES),
                        jnp.int32)],
         interpret=interpret,
-    )(nblk_in, wl, desc, aux.leaf_lo, aux.leaf_hi)
+    )(nblk_in, wl, desc, llo, lhi)
     counts = cnt.reshape(tp)
     counts = jnp.where(jnp.repeat(wl_overflow, TB), k_cap + 1, counts)
     return keys[:T], counts[:T]
@@ -811,7 +859,7 @@ def _mt_fused_kernel(offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
                      gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                      sem_ref, *, k_cap, omap_s=0,
                      prec=lax.Precision.HIGHEST,
-                     any_hit=False, tri_blk=TRI_BLK, pack=1):
+                     any_hit=False, tri_blk=TRI_BLK, pack=1, rps=None):
     """Fused gather+MT: per tile, walk the compacted cull list (SMEM),
     DMA each live segment's (SEG_ROWS, 128) G-row block straight from HBM
     into a double-buffered VMEM super-block, and run the triple-product
@@ -852,7 +900,7 @@ def _mt_fused_kernel(offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
                        t0_ref, gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref,
                        buf_ref, sem_ref, k_cap=k_cap, omap_s=omap_s,
                        prec=prec, any_hit=any_hit, nb=nb, tri_blk=tri_blk,
-                       pack=pack)
+                       pack=pack, rps=rps)
         return 0
 
     lax.fori_loop(0, tbm, tile_body, 0)
@@ -861,8 +909,9 @@ def _mt_fused_kernel(offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
 def _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
                    gtab_ref, t_ref, i_ref, u_ref, v_ref, p_ref, buf_ref,
                    sem_ref, *, k_cap, omap_s, prec, any_hit,
-                   nb, tri_blk=TRI_BLK, pack=1):
-    rps = SEG_ROWS // pack           # gtab rows per segment
+                   nb, tri_blk=TRI_BLK, pack=1, rps=None):
+    if rps is None:
+        rps = SEG_ROWS // pack       # gtab rows per (fine) segment
     kpb = tri_blk // rps             # keys (segments) per super-block
     count = jnp.minimum(cnt_ref[ti, 0, 0], k_cap)
     nsb = (count + kpb - 1) // kpb
@@ -1064,12 +1113,14 @@ def _mt_fused_tile(ti, offs_ref, cnt_ref, lbg_ref, tmax_ref, f_ref, t0_ref,
 
 @partial(jax.jit, static_argnames=("k_cap", "interpret", "omap_s",
                                    "mt_precision", "any_hit",
-                                   "tiles_per_step", "tri_blk", "pack"))
+                                   "tiles_per_step", "tri_blk", "pack",
+                                   "rps"))
 def mt_resolve_fused(offs, counts, lbg, tmax, o_t, d_t, gtab_flat,
                      k_cap: int, interpret: bool = False, omap_s: int = 0,
                      mt_precision: str = "highest", any_hit: bool = False,
                      tiles_per_step: int = 8,
-                     tri_blk: int = TRI_BLK, t0=None, pack: int = 1):
+                     tri_blk: int = TRI_BLK, t0=None, pack: int = 1,
+                     rps: int | None = None):
     """offs (T, k_cap) i32 PRE-DECODED gtab row offsets (segment *
     rows_per_seg, clamped in bounds; dead keys -> the sentinel segment's
     offset); counts (T,) i32; lbg (T, 1, nb)
@@ -1088,10 +1139,17 @@ def mt_resolve_fused(offs, counts, lbg, tmax, o_t, d_t, gtab_flat,
     barycentrics; prim the winner's global prim id (-1 = miss).
 
     tiles_per_step: tiles walked per grid step (fixed grid-step cost is
-    the kernel's dominant term — see _mt_fused_kernel)."""
+    the kernel's dominant term — see _mt_fused_kernel).
+
+    rps: gtab rows DMA'd per key (default SEG_ROWS // pack; span-coarsened
+    callers pass span_mult x that — see cull_tiles span_mult)."""
     T = offs.shape[0]
     nb = lbg.shape[2]
-    sentinel = gtab_flat.shape[0] - SEG_ROWS // pack
+    if rps is None:
+        rps = SEG_ROWS // pack
+    # padding tiles carry count = 0, so their offsets are never DMA'd;
+    # 0 is trivially rps-aligned (the in-kernel pl.multiple_of claim)
+    sentinel = 0
     if t0 is None:
         t0 = jnp.broadcast_to(tmax.reshape(T, 1), (T, TILE))
     tbm = max(1, min(tiles_per_step, T))
@@ -1123,7 +1181,7 @@ def mt_resolve_fused(offs, counts, lbg, tmax, o_t, d_t, gtab_flat,
     prec = lax.Precision.HIGHEST if mt_precision == "highest" else "vpu"
     t_out, i_out, u_out, v_out, p_out = pl.pallas_call(
         partial(_mt_fused_kernel, k_cap=k_cap, omap_s=omap_s, prec=prec,
-                any_hit=any_hit, tri_blk=tri_blk, pack=pack),
+                any_hit=any_hit, tri_blk=tri_blk, pack=pack, rps=rps),
         grid=(tp // tbm,),
         in_specs=[
             pl.BlockSpec((tbm, 1, k_cap), lambda i: (i, 0, 0),
@@ -1229,7 +1287,8 @@ def _decode_keys(keys, leaf_bits=_LEAF_BITS):
                                    "wf_cap_factor", "sort", "fused",
                                    "mt_precision", "max_blocks", "any_hit",
                                    "tri_blk", "return_counts", "retrace_ml",
-                                   "retrace_blocks", "tiles_per_step"))
+                                   "retrace_blocks", "tiles_per_step",
+                                   "span_mult"))
 def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_leaves: int = 256, t_max=BVH_FAR,
                        interpret: bool = False, retrace=True,
@@ -1238,7 +1297,7 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                        max_blocks: int = 128, any_hit: bool = False,
                        tri_blk: int = 256, return_counts: bool = False,
                        retrace_ml: int = 0, retrace_blocks: int = 0,
-                       tiles_per_step: int = 8):
+                       tiles_per_step: int = 8, span_mult: int = 1):
     """Packet trace v2. Rays must be (T*256,) grouped into tiles sharing an
     origin box (camera 16x16 scan tiles, or sort_rays_coherent output).
     Returns (Hits, per-tile overflow mask).
@@ -1264,16 +1323,22 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
 
     return_counts=True appends the raw per-tile cull survivor counts
     (segments; k_cap+1 flags a block-worklist overflow) to the return —
-    the budget-sizing probes read the distribution off this."""
+    the budget-sizing probes read the distribution off this.
+
+    span_mult: cull/DMA granularity — each cull key covers span_mult
+    consecutive SPAN-leaf segments, DMA'd with ONE descriptor (the fused
+    kernel's issue loop dominates on survivor-heavy tiles). max_leaves
+    stays in LEAVES; it must divide SPAN*span_mult. Fused path only."""
     K = max_leaves
-    assert K % (_KPB * SPAN) == 0
-    Kk = K // SPAN                 # cull-key (segment) budget
-    # MT super-block size: kpb segment keys = kpb*SEG_ROWS tris per
+    assert fused or span_mult == 1
+    assert K % (SPAN * span_mult) == 0 and K >= SPAN * span_mult
+    Kk = K // (SPAN * span_mult)   # cull-key (segment) budget
+    # MT super-block size: kpb segment keys = kpb*rps gtab rows per
     # matmul block. 256-tri blocks halve the per-iteration fixed cost
     # (drain/issue/gates/epilogue) relative to 128; tiny budgets shrink
     # the block so at least one full super-block exists.
-    rps = SEG_ROWS // aux.pack     # gtab rows per segment
-    kpb = tri_blk // rps
+    rps = (SEG_ROWS // aux.pack) * span_mult   # gtab rows per segment
+    kpb = max(1, tri_blk // rps)
     while Kk % kpb:
         kpb //= 2
     if not fused:
@@ -1290,10 +1355,12 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
 
     # segment ids must fit the key low bits: scenes beyond 2^18 segment
     # rows (>4M tris) trade distance-ordering granularity for id range
-    leaf_bits = max(_LEAF_BITS, (aux.leaf_lo.shape[1] - 1).bit_length())
+    leaf_bits = max(_LEAF_BITS,
+                    (aux.leaf_lo.shape[1] // span_mult - 1).bit_length())
     keys, counts = cull_tiles(aux, posn, negn, thresh, olo, ohi, tcap,
                               k_cap=Kk, interpret=interpret,
-                              max_blocks=max_blocks, leaf_bits=leaf_bits)
+                              max_blocks=max_blocks, leaf_bits=leaf_bits,
+                              span_mult=span_mult)
     overflow = counts > Kk
 
     keys_s = keys[:, :Kk]
@@ -1372,10 +1439,13 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
         # pre-decode every key to its clamped gtab row offset (dead keys
         # -> the all-zero sentinel segment): the kernel's DMA-issue loop
         # is its dominant term (r4 split probe), so the per-issue scalar
-        # chain shrinks to one SMEM load + descriptor start
-        max_seg = aux.gtab_pad.shape[0] // rps - 1
-        offs = jnp.where(live, jnp.minimum(lrow, max_seg),
-                         max_seg).astype(jnp.int32) * rps
+        # chain shrinks to one SMEM load + descriptor start. The sentinel
+        # is the first aligned slot past the real segments — its rows sit
+        # in gtab_pad's 2*M_MAX*rps zero tail for any span_mult <= M_MAX
+        # (so are the last real segment's overhang rows).
+        sent_seg = -(-aux.n_segs // span_mult)
+        offs = jnp.where(live, jnp.minimum(lrow, sent_seg),
+                         sent_seg).astype(jnp.int32) * rps
         # any-hit keeps the scalar cutoff init: its early stop compares
         # t_far against the cutoff, and an exit-capped init below the
         # cutoff could end the walk before any geometry is tested
@@ -1386,7 +1456,7 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
             mt_precision=mt_precision, any_hit=any_hit,
             tri_blk=tb_eff,
             tiles_per_step=tiles_per_step,
-            t0=None if any_hit else t0_rt, pack=aux.pack)
+            t0=None if any_hit else t0_rt, pack=aux.pack, rps=rps)
         # prim/u/v all recovered in-kernel: no (R,)-element XLA gathers
         # (each cost milliseconds: random row gathers waste 15/16 of
         # every (8, 128) granule). Misses settle at their exit-t init
@@ -1428,7 +1498,7 @@ def intersect_packets2(bvh8: BVH8, aux: PacketAux, rays: Rays,
                 t_max=jnp.where(ov_ray, tmax_r, 0.0),
                 interpret=interpret, retrace=False, sort=sort, fused=fused,
                 mt_precision=mt_precision, max_blocks=mb2, any_hit=any_hit,
-                tri_blk=tri_blk)
+                tri_blk=tri_blk, span_mult=span_mult)
             return h2.t, h2.u, h2.v, h2.prim, ov2
 
         def skip(_):
@@ -1521,13 +1591,13 @@ def _finish(bvh8, rays, best_t, best_pk, overflow, R, T, kuv=None):
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "max_blocks",
                                    "retrace_ml", "retrace_blocks",
-                                   "tri_blk"))
+                                   "tri_blk", "span_mult"))
 def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
                          cutoff: float = 1.0 - 1e-3, max_leaves: int = 256,
                          interpret: bool = False, retrace=True,
                          wf_cap_factor: int = 8, max_blocks: int = 128,
                          retrace_ml: int = 0, retrace_blocks: int = 0,
-                         tri_blk: int = 256):
+                         tri_blk: int = 256, span_mult: int = 1):
     """Any-hit occlusion for segments origin->points sharing ONE origin,
     points in tile order (e.g. shadow rays traced FROM a point light).
     Directions stay unnormalized so t is the segment fraction; the t_max
@@ -1548,7 +1618,8 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
         interpret=interpret,
         retrace="packet" if retrace == "packet" else False,
         max_blocks=max_blocks, any_hit=True, retrace_ml=retrace_ml,
-        retrace_blocks=retrace_blocks, tri_blk=tri_blk)
+        retrace_blocks=retrace_blocks, tri_blk=tri_blk,
+        span_mult=span_mult)
     occ = (hits.prim >= 0) & (hits.t < cutoff)
     if retrace and retrace != "packet":
         from tinybvh_tpu.traverse.wavefront import intersect_wavefront
@@ -1574,7 +1645,7 @@ def is_occluded_packets2(bvh8: BVH8, aux: PacketAux, origin, points,
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "max_blocks",
                                    "retrace_ml", "retrace_blocks",
-                                   "tri_blk"))
+                                   "tri_blk", "span_mult"))
 def is_occluded_packets2_sorted(bvh8: BVH8, aux: PacketAux, origin, points,
                                 cutoff: float = 1.0 - 1e-3,
                                 max_leaves: int = 256,
@@ -1583,7 +1654,7 @@ def is_occluded_packets2_sorted(bvh8: BVH8, aux: PacketAux, origin, points,
                                 max_blocks: int = 128,
                                 retrace_ml: int = 0,
                                 retrace_blocks: int = 0,
-                                tri_blk: int = 256):
+                                tri_blk: int = 256, span_mult: int = 1):
     """is_occluded_packets2 with DIRECTION-sorted bundles: shadow targets
     regrouped by quantized-direction morton order before tiling.
 
@@ -1611,21 +1682,22 @@ def is_occluded_packets2_sorted(bvh8: BVH8, aux: PacketAux, origin, points,
         max_leaves=max_leaves, interpret=interpret, retrace=retrace,
         wf_cap_factor=wf_cap_factor, max_blocks=max_blocks,
         retrace_ml=retrace_ml, retrace_blocks=retrace_blocks,
-        tri_blk=tri_blk)
+        tri_blk=tri_blk, span_mult=span_mult)
     return occ[inverse], jnp.repeat(overflow, TILE)[inverse]
 
 
 @partial(jax.jit, static_argnames=("max_leaves", "interpret", "retrace",
                                    "wf_cap_factor", "any_hit", "t_max_static",
                                    "max_blocks", "retrace_ml",
-                                   "retrace_blocks", "tri_blk"))
+                                   "retrace_blocks", "tri_blk", "span_mult"))
 def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
                               scene_lo, scene_hi, max_leaves: int = 256,
                               interpret: bool = False, retrace=True,
                               wf_cap_factor: int = 8, any_hit: bool = False,
                               t_max_static: float = BVH_FAR,
                               max_blocks: int = 128, retrace_ml: int = 0,
-                              retrace_blocks: int = 0, tri_blk: int = 256):
+                              retrace_blocks: int = 0, tri_blk: int = 256,
+                              span_mult: int = 1):
     """Packet trace v2 for INCOHERENT rays: coherence-sort into tiles
     (direction cell + origin morton), trace, scatter back to input order.
     Returns (Hits in input order, per-ray fallback mask).
@@ -1646,7 +1718,8 @@ def intersect_packets2_sorted(bvh8: BVH8, aux: PacketAux, rays: Rays,
         bvh8, aux, rs, max_leaves=max_leaves, interpret=interpret,
         retrace=retrace, wf_cap_factor=wf_cap_factor, any_hit=any_hit,
         t_max=t_max_static, max_blocks=max_blocks, retrace_ml=retrace_ml,
-        retrace_blocks=retrace_blocks, tri_blk=tri_blk)
+        retrace_blocks=retrace_blocks, tri_blk=tri_blk,
+        span_mult=span_mult)
     ov_ray = jnp.repeat(overflow, TILE)[inverse]
     return Hits(t=hits.t[inverse], u=hits.u[inverse], v=hits.v[inverse],
                 prim=hits.prim[inverse], inst=hits.inst[inverse]), ov_ray
