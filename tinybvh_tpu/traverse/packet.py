@@ -511,10 +511,10 @@ def _spread10(x):
 def sort_rays_coherent(o, d, scene_lo, scene_hi):
     """Coherence sort for incoherent rays (≙ the tiling of the reference's
     diffuse batches, tiny_bvh_speedtest.cpp:513-551, done as a sort):
-    key = direction cell (7 bits: octant + 2x2 gnomonic sub-cells) |
-    origin morton (24 bits). Returns (order, inverse) permutations;
-    consecutive 256-ray groups of `order` form packet tiles with bounded
-    direction spread (< ~45° per cell) and compact origin boxes."""
+    key = direction octant (3 bits) | origin morton (27 bits). Returns
+    (order, inverse) permutations; consecutive 256-ray groups of `order`
+    form packet tiles with one-octant direction spread and compact
+    origin boxes."""
     o = jnp.asarray(o, jnp.float32)
     d = jnp.asarray(d, jnp.float32)
     R = o.shape[0]
@@ -525,19 +525,13 @@ def sort_rays_coherent(o, d, scene_lo, scene_hi):
     octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
               + (d[:, 1] < 0).astype(jnp.int32) * 2
               + (d[:, 2] < 0).astype(jnp.int32))
-    # sub-cells within the octant: split by the two minor-axis ratios
-    ad = jnp.abs(d)
-    dom = jnp.argmax(ad, axis=1)
-    amax = jnp.max(ad, axis=1)
-    r = ad / jnp.maximum(amax, 1e-20)[:, None]
-    # the two non-dominant ratios, in axis order
-    ratios = jnp.stack([
-        jnp.where(dom == 0, r[:, 1], r[:, 0]),
-        jnp.where(dom == 2, r[:, 1], r[:, 2]),
-    ], axis=1)
-    sub = ((ratios[:, 0] > 0.5).astype(jnp.int32) * 2
-           + (ratios[:, 1] > 0.5).astype(jnp.int32))
-    key = (octant << 27) | (sub << 25) | (morton >> 5)
+    # octant-major, then ORIGIN morton: for bounce rays off a compact
+    # surface, origin locality dominates frustum tightness — the old
+    # 2-bit gnomonic sub-cells ABOVE the morton bits scattered nearby
+    # origins into different tiles (r5 sort probe, bunny diffuse: mean
+    # cull survivors 606 -> 378 segs/tile, exact trace 2.56 -> 3.99
+    # MRays/s after the demotion; finer direction keys were all worse)
+    key = (octant << 27) | (morton >> 3)
     iota = jnp.arange(R, dtype=jnp.int32)
     _, order = lax.sort((key, iota), num_keys=1)
     _, inverse = lax.sort((order, iota), num_keys=1)
