@@ -146,6 +146,52 @@ def _amortized(fn_async, n=8, windows=3):
     return best
 
 
+# peak dense bf16 Tflop/s per chip (public specs); the MT kernel's own
+# ceiling divides this by the HIGHEST-precision pass count (6 bf16
+# passes per exact-f32 matmul) and the depth utilization of its K=12
+# contraction on the 128-deep MXU (12/128) — measured r5: the exact
+# diffuse trace runs at ~78% of that ceiling, so the gap to the 500
+# MRays/s target is ALGORITHMIC over-coverage (survivor rows x 256
+# lanes), not kernel inefficiency.
+_PEAK_BF16_TFLOPS = {"v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
+_MT_F32_PASSES = 6
+_MT_DEPTH_UTIL = 12.0 / 128.0
+
+
+def _phase_roofline(out, tag, aux, rays, t_call, ml, mb, t_max=1e30):
+    """Per-phase MFU decomposition (verdict r4 #9): how many MT MACs the
+    phase's cull survivors imply, the achieved Tflop/s over the measured
+    call time, and the ratio to (a) chip peak and (b) the fused kernel's
+    own depth-12 HIGHEST-precision ceiling. Reuses the phase's jitted
+    cull executable (same static args), so it costs one ~ms dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinybvh_tpu.traverse import packet2 as p2
+    from tinybvh_tpu.tuning import detect_generation
+
+    peak = _PEAK_BF16_TFLOPS.get(detect_generation())
+    if peak is None or t_call is None:
+        return
+    kk = ml // p2.SPAN
+    (posn, negn, thresh, olo, ohi, tcap, dlen,
+     tmax_rt, t0) = p2._tile_frusta(aux, rays, t_max)
+    lb = max(p2._LEAF_BITS, (aux.leaf_lo.shape[1] - 1).bit_length())
+    _, counts = p2.cull_tiles(aux, posn, negn, thresh, olo, ohi, tcap,
+                              k_cap=kk, max_blocks=mb, leaf_bits=lb)
+    segs = int(jnp.sum(jnp.minimum(counts, kk)))
+    # MACs: segs x 16 tris x 4 quantities x K=12 x 256 lanes
+    gflop = segs * 16 * 4 * 12 * 256 * 2 / 1e9
+    ach = gflop / t_call / 1e3                    # Tflop/s
+    ceil = peak * _MT_DEPTH_UTIL / _MT_F32_PASSES
+    out[f"{tag}_mt_gflop"] = round(gflop, 1)
+    out[f"{tag}_tflops"] = round(ach, 3)
+    out[f"{tag}_mfu_pct"] = round(100 * ach / peak, 3)
+    out[f"{tag}_mt_ceiling_pct"] = round(100 * ach / ceil, 1)
+    out.setdefault("mt_ceiling_tflops", round(ceil, 2))
+    out.setdefault("peak_bf16_tflops", peak)
+
+
 def _emit(out):
     """Stream a cumulative snapshot of this section's results; the parent
     keeps only the LAST line, so re-printing the growing dict is safe."""
@@ -433,6 +479,10 @@ def bench_scene(tris, name, ref_entry=None,
     # ---- measurement: everything is compiled and device-resident --------
     t = _amortized(primary)
     out["primary_mrays"] = round(n_rays / t / 1e6, 3)
+    try:
+        _phase_roofline(out, "primary", aux, rays, t, ml_primary, mbp)
+    except Exception:  # pragma: no cover - diagnostics only
+        pass
     mark("meas_primary")
     _emit(out)
     if shadow_ready and _time_left() > 30:
@@ -447,6 +497,14 @@ def bench_scene(tris, name, ref_entry=None,
         try:
             t = _amortized(diffuse)
             out["diffuse_mrays"] = round(n_rays / t / 1e6, 3)
+            # roofline on the SORTED tiles (what the trace actually culls)
+            from tinybvh_tpu.traverse.packet import sort_rays_coherent
+
+            order, _ = sort_rays_coherent(drays.o, drays.d, lo_dev, hi_dev)
+            dsort = Rays(o=drays.o[order], d=drays.d[order],
+                         rd=drays.rd[order], mask=drays.mask[order])
+            _phase_roofline(out, "diffuse", aux, dsort, t, ml_diffuse,
+                            max_blocks)
         except Exception as e:  # pragma: no cover
             out["diffuse_error"] = repr(e)[:160]
         mark("meas_diffuse")
