@@ -44,18 +44,20 @@ def moller_trumbore(o, d, v0, e1, e2, t_cur, backface_cull: bool = False):
     Returns (hit_mask, t, u, v). A hit requires 0 < t < t_cur and valid
     barycentrics, matching the reference macro (tiny_bvh.h:1644-1656).
     """
+    # explicit multiply-sum dots: jnp.einsum lowers to dot_general, whose
+    # TPU f32 default is bf16 multiplies — ~0.4% t error on TPU oracles
     h = jnp.cross(d, e2)
-    det = jnp.einsum("...i,...i->...", e1, h)
+    det = (e1 * h).sum(-1)
     if backface_cull:
         valid_det = det > 1e-9
     else:
         valid_det = jnp.abs(det) > 1e-9
     inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
     s = o - v0
-    u = jnp.einsum("...i,...i->...", s, h) * inv_det
+    u = (s * h).sum(-1) * inv_det
     q = jnp.cross(s, e1)
-    v = jnp.einsum("...i,...i->...", d, q) * inv_det
-    t = jnp.einsum("...i,...i->...", e2, q) * inv_det
+    v = (d * q).sum(-1) * inv_det
+    t = (e2 * q).sum(-1) * inv_det
     hit = (
         valid_det
         & (u >= 0.0)
@@ -156,7 +158,7 @@ def precompute_baldwin_weber(tris):
     e1 = v1 - v0
     e2 = v2 - v0
     n = jnp.cross(e1, e2)
-    nd = jnp.einsum("ij,ij->i", v0, n)
+    nd = (v0 * n).sum(-1)
     dom = jnp.argmax(jnp.abs(n), axis=-1)               # dominant axis
 
     def rows_for(ax):
@@ -186,13 +188,13 @@ def intersect_baldwin_weber(o, d, T, t_cur):
     transform rows (the format the reference feeds CWBVH compressed
     triangles, tiny_bvh.h:6004-6009). Returns (hit, t, u, v)."""
     tr = T[..., 8:11]
-    num = jnp.einsum("...i,...i->...", tr, o) + T[..., 11]
-    den = jnp.einsum("...i,...i->...", tr, d)
+    num = (tr * o).sum(-1) + T[..., 11]
+    den = (tr * d).sum(-1)
     ok = jnp.abs(den) > 1e-20
     t = -num / jnp.where(ok, den, 1.0)
     p = o + t[..., None] * d
-    u = jnp.einsum("...i,...i->...", T[..., 0:3], p) + T[..., 3]
-    v = jnp.einsum("...i,...i->...", T[..., 4:7], p) + T[..., 7]
+    u = (T[..., 0:3] * p).sum(-1) + T[..., 3]
+    v = (T[..., 4:7] * p).sum(-1) + T[..., 7]
     hit = (ok & (t > 0.0) & (t < t_cur)
            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
     return hit, jnp.where(hit, t, BVH_FAR), u, v
@@ -248,7 +250,7 @@ def sphere_tri_overlap(center, r, v0, v1, v2):
     ap = center - v0
 
     def dot(a, b):
-        return jnp.einsum("...i,...i->...", a, b)
+        return (a * b).sum(-1)
 
     d1 = dot(ab, ap)
     d2 = dot(ac, ap)

@@ -49,18 +49,28 @@ def aabb_empty(shape=(), dtype=jnp.float32):
     return mn, mx
 
 
+def mat3_apply(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(...,3,3) @ (...,3) as an explicit f32 multiply-sum.
+
+    NEVER use einsum/@ for ray-precision 3x3 transforms: small
+    contractions lower to dot_general, and the TPU's f32 matmul default
+    is bf16 multiplies — measured displacing 157-unit instanced-scene
+    ray origins by ~0.5 units (the round-4 inst512 exactness failure).
+    The broadcast multiply-sum stays on the VPU in full f32."""
+    return (a * v[..., None, :]).sum(-1)
+
+
 def transform_point(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Apply 4x4 row-major transform(s) to points. m: (...,4,4), p: (...,3).
 
     Mirrors tinybvh_transform_point (tiny_bvh.h:565-573).
     """
-    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
-    return r
+    return mat3_apply(m[..., :3, :3], p) + m[..., :3, 3]
 
 
 def transform_vector(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Apply rotation/scale part only (tiny_bvh.h:575-581)."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return mat3_apply(m[..., :3, :3], v)
 
 
 def transform_aabb(m: jnp.ndarray, bmin: jnp.ndarray, bmax: jnp.ndarray):
@@ -73,8 +83,8 @@ def transform_aabb(m: jnp.ndarray, bmin: jnp.ndarray, bmax: jnp.ndarray):
     c = (bmin + bmax) * 0.5
     e = (bmax - bmin) * 0.5
     a = m[..., :3, :3]
-    c2 = jnp.einsum("...ij,...j->...i", a, c) + m[..., :3, 3]
-    e2 = jnp.einsum("...ij,...j->...i", jnp.abs(a), e)
+    c2 = mat3_apply(a, c) + m[..., :3, 3]
+    e2 = mat3_apply(jnp.abs(a), e)
     return c2 - e2, c2 + e2
 
 

@@ -119,7 +119,8 @@ def trace_paths_tlas(tlas: TLAS8, inst_albedo, inst_emissive, light_tris,
         _, te1, te2 = tri_edges(tri)
         n_l = jnp.cross(te1, te2)
         inv = tlas.inst_inv[jnp.clip(inst, 0, tlas.inst_inv.shape[0] - 1)]
-        n_w = jnp.einsum("rji,rj->ri", inv[:, :3, :3], n_l)
+        # inv^T n in exact f32 (sum over j of inv[j,i]*n[j])
+        n_w = (inv[:, :3, :3] * n_l[:, :, None]).sum(1)
         n = normalize(n_w)
         n = jnp.where((jnp.sum(n * d, axis=-1) > 0)[:, None], -n, n)
         p = o + hits.t[:, None] * d

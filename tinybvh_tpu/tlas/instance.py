@@ -33,7 +33,7 @@ from flax import struct
 
 from tinybvh_tpu.core.intersect import moller_trumbore, tri_edges
 from tinybvh_tpu.core.rays import Hits, Rays
-from tinybvh_tpu.core.vecmath import BVH_FAR
+from tinybvh_tpu.core.vecmath import BVH_FAR, mat3_apply
 from tinybvh_tpu.layouts.mbvh import BVH8, EMPTY_SLOT
 
 # two-level descent pushes at most one node per level per BVH; 130 covers
@@ -334,11 +334,13 @@ def _slab8(o, rd, t, bounds):
 
 
 def _xform_ray(inv, o, d):
-    """Apply (R, 4, 4) world→BLAS transforms; directions unnormalized."""
-    o2 = jnp.einsum("rij,rj->ri", inv[:, :3, :3], o) + inv[:, :3, 3]
-    d2 = jnp.einsum("rij,rj->ri", inv[:, :3, :3], d)
-    from tinybvh_tpu.core.vecmath import safe_rcp
+    """Apply (R, 4, 4) world→BLAS transforms; directions unnormalized.
+    mat3_apply, not einsum: TPU f32 dot_general defaults to bf16
+    multiplies (see vecmath.mat3_apply)."""
+    from tinybvh_tpu.core.vecmath import mat3_apply, safe_rcp
 
+    o2 = mat3_apply(inv[:, :3, :3], o) + inv[:, :3, 3]
+    d2 = mat3_apply(inv[:, :3, :3], d)
     return o2, d2, safe_rcp(d2)
 
 
@@ -567,8 +569,8 @@ def intersect_tlas_wavefront(
 
         rdat = ray_data[pr]
         inv = inv_all[pf]  # (P, 4, 4)
-        o = jnp.einsum("pij,pj->pi", inv[:, :3, :3], rdat[:, 0:3]) + inv[:, :3, 3]
-        d = jnp.einsum("pij,pj->pi", inv[:, :3, :3], rdat[:, 3:6])
+        o = mat3_apply(inv[:, :3, :3], rdat[:, 0:3]) + inv[:, :3, 3]
+        d = mat3_apply(inv[:, :3, :3], rdat[:, 3:6])
         rd = safe_rcp(d)
         tb = t_best[pr]
 
@@ -658,8 +660,8 @@ def intersect_tlas_wavefront(
     inst = jnp.where(ok & (s["win_inst"] < n_inst), s["win_inst"], -1)
     # u/v recovery: re-intersect the winning tri with the frame-local ray
     inv_w = inv_all[jnp.where(ok, jnp.minimum(s["win_inst"], n_inst), n_inst)]
-    o2 = jnp.einsum("rij,rj->ri", inv_w[:, :3, :3], o_all) + inv_w[:, :3, 3]
-    d2 = jnp.einsum("rij,rj->ri", inv_w[:, :3, :3], d_all)
+    o2 = mat3_apply(inv_w[:, :3, :3], o_all) + inv_w[:, :3, 3]
+    d2 = mat3_apply(inv_w[:, :3, :3], d_all)
     _, _, uu, vv = moller_trumbore(
         o2, d2, v0t[wl, wk], e1t[wl, wk], e2t[wl, wk],
         jnp.full(R, BVH_FAR, jnp.float32))

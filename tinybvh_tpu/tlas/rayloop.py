@@ -122,12 +122,12 @@ def _init_state(rays: Rays, t_max, S: int, LQ: int, anyhit: bool):
 
 def _frame_ray(tb: TLASRayLoopTables, frame, o, d):
     """Gather world->BLAS transforms and apply (identity for frame = -1)."""
+    from tinybvh_tpu.core.vecmath import mat3_apply, safe_rcp
+
     fi = jnp.where(frame < 0, tb.n_inst, frame)
     inv = tb.inv_flat[fi].reshape(-1, 4, 4)
-    o2 = jnp.einsum("rij,rj->ri", inv[:, :3, :3], o) + inv[:, :3, 3]
-    d2 = jnp.einsum("rij,rj->ri", inv[:, :3, :3], d)
-    from tinybvh_tpu.core.vecmath import safe_rcp
-
+    o2 = mat3_apply(inv[:, :3, :3], o) + inv[:, :3, 3]
+    d2 = mat3_apply(inv[:, :3, :3], d)
     return o2, d2, safe_rcp(d2)
 
 

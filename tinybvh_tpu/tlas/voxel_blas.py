@@ -57,10 +57,13 @@ def voxel_instance(vox, transform=None, mask=RAY_MASK_ALL) -> VoxelInstance:
 
 
 def _to_local(inv, o, d):
-    """Transform batched rays into the instance frame (no renorm)."""
-    rot = inv[:3, :3]
-    o2 = o @ rot.T + inv[:3, 3]
-    d2 = d @ rot.T
+    """Transform batched rays into the instance frame (no renorm).
+    mat3_apply, not @: TPU f32 matmul defaults to bf16 multiplies."""
+    from tinybvh_tpu.core.vecmath import mat3_apply
+
+    rot = inv[None, :3, :3]
+    o2 = mat3_apply(rot, o) + inv[:3, 3]
+    d2 = mat3_apply(rot, d)
     return o2, d2
 
 

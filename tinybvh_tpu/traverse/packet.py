@@ -56,9 +56,11 @@ def _tile_planes(o, d):
     u = jnp.cross(ref, m)
     u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-20)
     v = jnp.cross(m, u)
-    dm = jnp.einsum("trk,tk->tr", d, m)  # (T, 256)
-    da = jnp.einsum("trk,tk->tr", d, u)
-    db = jnp.einsum("trk,tk->tr", d, v)
+    # explicit multiply-sums: bf16-default dot_general would loosen the
+    # gnomonic bounds the plane validity proof rests on
+    dm = (d * m[:, None, :]).sum(-1)  # (T, 256)
+    da = (d * u[:, None, :]).sum(-1)
+    db = (d * v[:, None, :]).sum(-1)
     wide = (dm <= 1e-9).any(axis=1)  # bundle not within 90° of mean
     safe = jnp.where(dm <= 1e-9, 1.0, dm)
     a = da / safe
@@ -129,12 +131,14 @@ def collect_tile_leaves(bvh8: BVH8, tile_o, tile_d, max_leaves: int = 128,
         pl_t = planes[pt]           # (C, 4, 3)
         pl_pos = jnp.maximum(pl_t, 0.0)
         pl_neg = jnp.minimum(pl_t, 0.0)
-        # conservative over the tile's origin box: min_o n·o
-        o_min = (jnp.einsum("cpk,ck->cp", pl_pos, tile_olo[pt])
-                 + jnp.einsum("cpk,ck->cp", pl_neg, tile_ohi[pt]))
+        # conservative over the tile's origin box: min_o n·o. Explicit
+        # multiply-sums (K=3): einsum lowers to dot_general whose TPU f32
+        # default is bf16 multiplies — unacceptable for cull tests
+        o_min = ((pl_pos * tile_olo[pt][:, None, :]).sum(-1)
+                 + (pl_neg * tile_ohi[pt][:, None, :]).sum(-1))
         dist = (
-            jnp.einsum("cpk,ckn->cpn", pl_pos, b[:, 3:6])
-            + jnp.einsum("cpk,ckn->cpn", pl_neg, b[:, 0:3])
+            (pl_pos[:, :, :, None] * b[:, None, 3:6]).sum(2)
+            + (pl_neg[:, :, :, None] * b[:, None, 0:3]).sum(2)
             - o_min[:, :, None]
         )  # (C, 4, 8)
         culled = (dist < 0).any(axis=1)
@@ -244,10 +248,12 @@ def collect_tile_leaves_flat(bvh8: BVH8, tile_o, tile_d,
         kids = bvh8.child[nrow]
         pl_t = planes[pt]
         o_t = tile_o[pt]
+        # explicit multiply-sums (K=3): einsum lowers to dot_general whose
+        # TPU f32 default is bf16 multiplies — unacceptable for cull tests
         dist = (
-            jnp.einsum("cpk,ckn->cpn", jnp.maximum(pl_t, 0.0), b[:, 3:6])
-            + jnp.einsum("cpk,ckn->cpn", jnp.minimum(pl_t, 0.0), b[:, 0:3])
-            - jnp.einsum("cpk,ck->cp", pl_t, o_t)[:, :, None]
+            (jnp.maximum(pl_t, 0.0)[:, :, :, None] * b[:, None, 3:6]).sum(2)
+            + (jnp.minimum(pl_t, 0.0)[:, :, :, None] * b[:, None, 0:3]).sum(2)
+            - (pl_t * o_t[:, None, :]).sum(-1)[:, :, None]
         )
         culled = (dist < 0).any(axis=1)
         valid = active[:, None] & ~culled & (kids != EMPTY_SLOT)
@@ -344,7 +350,7 @@ def intersect_packets(bvh8: BVH8, rays: Rays, max_leaves: int = 128,
         )
 
         planes = _tile_planes(tile_o, d)
-        ndoto = jnp.einsum("tpk,tk->tp", planes, tile_o).reshape(T, 1, 4)
+        ndoto = (planes * tile_o[:, None, :]).sum(-1).reshape(T, 1, 4)
         leaves, counts = collect_tile_leaves_pallas(
             bvh8.bounds.reshape(-1, 6, 8), bvh8.child, planes, ndoto,
             max_leaves, interpret=interpret,

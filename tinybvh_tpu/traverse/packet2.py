@@ -1249,8 +1249,11 @@ def _tile_frusta(aux: PacketAux, rays: Rays, t_max):
     planes = _tile_planes(o[:, 0], d)          # (T, 4, 3)
     posn = jnp.maximum(planes, 0.0)
     negn = jnp.minimum(planes, 0.0)
-    thresh = (jnp.einsum("tpk,tk->tp", posn, olo)
-              + jnp.einsum("tpk,tk->tp", negn, ohi))
+    # explicit multiply-sum, not einsum: dot_general's TPU f32 default is
+    # bf16 multiplies — at large scene scale the rounded plane threshold
+    # can wrongly cull boundary-grazing segments
+    thresh = ((posn * olo[:, None, :]).sum(-1)
+              + (negn * ohi[:, None, :]).sum(-1))
 
     # per-tile reach cap for the cull: a leaf whose origin-box gap exceeds
     # every ray's own travel bound can never be hit. The bound is
