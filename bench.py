@@ -371,9 +371,16 @@ def bench_scene(tris, name, ref_entry=None,
 
     # warm/compile the primary NOW; measurement happens after every
     # phase's compile+puts are done (compiles and H2D transfers issued
-    # after a queued-dispatch phase fail on this backend)
-    hits, ovf = primary()
-    jax.block_until_ready(hits.t)
+    # after a queued-dispatch phase fail on this backend). One retry:
+    # the tunnel's remote-compile HTTP stream drops transiently a few
+    # times a day and a second attempt has always succeeded
+    try:
+        hits, ovf = primary()
+        jax.block_until_ready(hits.t)
+    except Exception:
+        time.sleep(5.0)
+        hits, ovf = primary()
+        jax.block_until_ready(hits.t)
     # scalar-only readbacks: D2H of a full (R,) array costs minutes
     # through this tunnel (measured: 1MB D2H > 5 min) - reduce on device
     out["hit_rate"] = round(float(jnp.mean((hits.prim >= 0)
@@ -545,8 +552,15 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
     )
 
     n_inst = nx * ny * nz
+    t_sec0 = time.perf_counter()
+    tm = {}
+
+    def mark(name):
+        tm[name] = round(time.perf_counter() - t_sec0, 1)
+
     bvh_b = BVH(bunny)
     blas = bvh_b.bvh8
+    mark("blas")
     if rml == "full":
         # escalation budget covering the WHOLE BLAS: a tile that sweeps
         # every segment of its instance still traces exact, so the
@@ -583,6 +597,8 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
 
     h, ovf = packet_trace()
     jax.block_until_ready(h.t)
+    mark("warm_packet")
+    out["phase_s"] = tm
     out["hit_rate"] = round(float(jnp.mean((h.prim >= 0)
                                    .astype(jnp.float32))), 4)
     out["packet_overflow_tiles"] = int(jnp.sum(ovf))
@@ -620,28 +636,15 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
             float(s_ours / jnp.maximum(s_ref, 1e-9)), 5)
         _emit(out)
     t = _amortized(packet_trace, n=4)
+    mark("meas_packet")
     out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
     _emit(out)
 
-    if with_wavefront and _time_left() > 75:
-        def wf_trace():
-            hh, _ = intersect_tlas_wavefront(tp.tlas, rays, far_dev,
-                                             cap_factor=6)
-            return hh
-
-        try:
-            hw = wf_trace()
-            jax.block_until_ready(hw.t)
-            # the capped wavefront runs seconds/call: 2x2 windows suffice
-            # for a comparison row
-            t = _amortized(wf_trace, n=2, windows=2)
-            out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
-            out["packet_vs_wavefront"] = round(
-                out["tlas_packet_mrays"] / out["tlas_wavefront_mrays"], 2)
-        except Exception as e:  # pragma: no cover - device-dependent
-            out["wavefront_error"] = repr(e)[:160]
-        _emit(out)
-    if with_wavefront and _time_left() > 90:
+    # rayloop FIRST: it is the designated exact fallback engine (the
+    # wavefront is the legacy comparison row) and the r5 verdict metric
+    # is the packet-vs-fallback ratio — don't let the slower wavefront
+    # row eat the section budget before it
+    if with_wavefront and _time_left() > 60:
         # per-ray ordered two-level rayloop — the EXACT per-ray fallback
         # engine for instanced scenes (tlas/rayloop.py, ≙ the recursive
         # TLAS Intersect role, tiny_bvh.h:3306-3380)
@@ -660,11 +663,32 @@ def _bench_instances(bunny, nx, ny, nz, rounds, ml, rml,
             hr = rl_trace()
             jax.block_until_ready(hr.t)
             t = _amortized(rl_trace, n=2, windows=2)
+            mark("meas_rayloop")
             out["tlas_rayloop_mrays"] = round(o.shape[0] / t / 1e6, 3)
             out["packet_vs_rayloop"] = round(
                 out["tlas_packet_mrays"] / out["tlas_rayloop_mrays"], 2)
         except Exception as e:  # pragma: no cover - device-dependent
             out["rayloop_error"] = repr(e)[:160]
+        _emit(out)
+    elif with_wavefront:
+        out["rayloop_skipped"] = "deadline"
+    if with_wavefront and _time_left() > 75:
+        def wf_trace():
+            hh, _ = intersect_tlas_wavefront(tp.tlas, rays, far_dev,
+                                             cap_factor=6)
+            return hh
+
+        try:
+            hw = wf_trace()
+            jax.block_until_ready(hw.t)
+            # the capped wavefront runs seconds/call: 2x2 windows suffice
+            # for a comparison row
+            t = _amortized(wf_trace, n=2, windows=2)
+            out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
+            out["packet_vs_wavefront"] = round(
+                out["tlas_packet_mrays"] / out["tlas_wavefront_mrays"], 2)
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["wavefront_error"] = repr(e)[:160]
     return out
 
 
@@ -910,6 +934,7 @@ def _sub_section(section, budget=None):
             hr = rl_trace()
             jax.block_until_ready(hr.t)
             t = _amortized(rl_trace, n=2, windows=2)
+            mark("meas_rayloop")
             out["tlas_rayloop_mrays"] = round(o.shape[0] / t / 1e6, 3)
         except _SkipPhase:
             out["rayloop_skipped"] = "deadline"
@@ -994,14 +1019,19 @@ def main():
     # LAST: its compile time is the least predictable and its metric
     # the least critical.
     plan = [("bunny", 420, 120), ("grid4", 150, 80),
-            ("grid16", 300, 140), ("inst8", 240, 110),
-            ("inst512", 240, 110), ("drone", 160, 80),
+            ("grid16", 300, 140), ("inst8", 320, 110),
+            ("inst512", 240, 110), ("drone", 180, 80),
             ("builddev", 180, 100)]
     # rehearsal runs (cold cache) scale every section cap up so first
     # compiles land in .jax_cache; the driver's run uses the 1x plan
     scale = float(os.environ.get("BENCH_SECTION_SCALE", "1"))
     plan = [(s, b * scale, m) for s, b, m in plan]
     subproc = os.environ.get("BENCH_SUBPROC") == "1"
+    # sections that die on a TRANSIENT tunnel fault (the remote-compile
+    # HTTP stream drops mid-read a few times a day; observed killing a
+    # fully-cache-warm bunny section while every later section ran
+    # clean) get ONE retry after the main pass, budget permitting
+    retry_q = []
     for section, max_budget, min_need in plan:
         if section not in only:
             continue
@@ -1018,6 +1048,7 @@ def main():
                 detail[section] = _sub_section(section, budget=budget)
             except Exception as e:  # pragma: no cover
                 detail[section + "_error"] = repr(e)[:300]
+                retry_q.append((section, max_budget, min_need))
             detail["elapsed_s"] = int(time.time() - t_start)
             print(json.dumps(_headline(detail)), flush=True)
             continue
@@ -1051,6 +1082,20 @@ def main():
         detail["elapsed_s"] = int(time.time() - t_start)
         # cumulative headline after EVERY section: a later kill always
         # leaves a complete, parseable JSON line as the tail
+        print(json.dumps(_headline(detail)), flush=True)
+
+    for section, max_budget, min_need in retry_q:
+        remaining = deadline - time.time()
+        if remaining < min_need:
+            continue
+        try:
+            detail[section] = _sub_section(
+                section, budget=min(max_budget, remaining - 10))
+            detail.pop(section + "_error", None)
+            detail[section + "_retried"] = True
+        except Exception as e:  # pragma: no cover
+            detail[section + "_error"] = repr(e)[:300]
+        detail["elapsed_s"] = int(time.time() - t_start)
         print(json.dumps(_headline(detail)), flush=True)
 
     rt.join(timeout=5)
