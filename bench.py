@@ -934,7 +934,6 @@ def _sub_section(section, budget=None):
             hr = rl_trace()
             jax.block_until_ready(hr.t)
             t = _amortized(rl_trace, n=2, windows=2)
-            mark("meas_rayloop")
             out["tlas_rayloop_mrays"] = round(o.shape[0] / t / 1e6, 3)
         except _SkipPhase:
             out["rayloop_skipped"] = "deadline"
