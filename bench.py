@@ -894,31 +894,14 @@ def _sub_section(section, budget=None):
         out["tlas_packet_mrays"] = round(o.shape[0] / t / 1e6, 3)
         _emit(out)
 
-        def wf_trace():
-            # the instanced (39-node) scene-graph path, for comparison;
-            # its wavefront is budget-capped (cap_factor=6) so it is a
-            # throughput row, not an exactness oracle
-            hh, _ = intersect_tlas_wavefront(sc.tlas, rays, far_dev,
-                                             cap_factor=6)
-            return hh
-
-        try:
-            if _time_left() < 60:
-                raise _SkipPhase()
-            hw = wf_trace()
-            jax.block_until_ready(hw.t)
-            t = _amortized(wf_trace, n=2, windows=2)
-            out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
-        except _SkipPhase:
-            out["wavefront_skipped"] = "deadline"
-        except Exception as e:  # pragma: no cover - device-dependent
-            out["wavefront_error"] = repr(e)[:160]
-        _emit(out)
+        # rayloop FIRST (the exact fallback row — same ordering rationale
+        # as _bench_instances), capped wavefront after as the legacy
+        # comparison row
         try:
             # exact per-ray rayloop over the instanced (39-node) TLAS —
             # the fallback engine row (≙ recursive TLAS Intersect,
             # tiny_bvh.h:3306-3380)
-            if _time_left() < 75:
+            if _time_left() < 60:
                 raise _SkipPhase()
             from tinybvh_tpu.tlas.rayloop import (
                 intersect_tlas_rayloop, make_tlas_rayloop_tables,
@@ -939,6 +922,27 @@ def _sub_section(section, budget=None):
             out["rayloop_skipped"] = "deadline"
         except Exception as e:  # pragma: no cover - device-dependent
             out["rayloop_error"] = repr(e)[:160]
+        _emit(out)
+
+        def wf_trace():
+            # the instanced (39-node) scene-graph path, for comparison;
+            # its wavefront is budget-capped (cap_factor=6) so it is a
+            # throughput row, not an exactness oracle
+            hh, _ = intersect_tlas_wavefront(sc.tlas, rays, far_dev,
+                                             cap_factor=6)
+            return hh
+
+        try:
+            if _time_left() < 60:
+                raise _SkipPhase()
+            hw = wf_trace()
+            jax.block_until_ready(hw.t)
+            t = _amortized(wf_trace, n=2, windows=2)
+            out["tlas_wavefront_mrays"] = round(o.shape[0] / t / 1e6, 3)
+        except _SkipPhase:
+            out["wavefront_skipped"] = "deadline"
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["wavefront_error"] = repr(e)[:160]
     else:
         out = {"error": f"unknown section {section}"}
     _emit(out)
